@@ -1,0 +1,73 @@
+"""Engine configuration.
+
+Mirrors the reference's params-struct surface (hora keeps one params struct
+per index, e.g. /root/reference/src/index/hnsw_params.rs:53-63,
+pq_params.rs:35-42) as plain dataclasses. BM25 constants are pinned HERE and
+nowhere else: rank-identity between the brute-force oracle and the indexed
+path is only meaningful if both read the same (k1, b, idf) definition —
+the analog of hora pinning its sign convention "smaller means closer" in one
+place (/root/reference/src/core/metrics.rs:55).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """BM25 scoring constants (Lucene-style idf, always >= 0).
+
+    score(q, d) = sum over t in q of
+        idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+    def idf(self, n_docs: int, df: int) -> float:
+        return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    @property
+    def idf_sql(self) -> str:
+        """The idf formula as a SQL fragment over columns N and df —
+        used verbatim by both Spark SQL and the DuckDB oracle so the two
+        engines compute the same expression tree."""
+        return "LN((N - df + 0.5) / (df + 0.5) + 1.0)"
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Segment/posting-list build parameters.
+
+    Analog of hora's PQ/IVFPQ params (/root/reference/src/index/
+    pq_params.rs:35-42,80-89): block_size plays the role of the code/
+    subspace granularity, n_buckets the role of n_kmeans_center (coarse
+    partitioning), hot_term_df / salt_rows the role of the empty-cluster
+    skew repair (/root/reference/src/core/kmeans.rs:150-193).
+    """
+
+    block_size: int = 128           # docs per compressed posting block
+    n_buckets: int = 32             # term-hash partitions of the segment table
+    hot_term_df: int = 200_000      # df above which a term's postings are salted
+    salt_rows: int = 8              # max segment rows a hot term is split into
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    bm25: BM25Config = field(default_factory=BM25Config)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    # tie-break: ORDER BY score DESC, doc_id ASC — pinned once, used
+    # everywhere (oracle, WAND path, SQL oracles). The analog of hora's
+    # Neighbor ordering (/root/reference/src/core/neighbor.rs:30-34).
+    k_default: int = 10
+
+
+# token pattern pinned once; must stay expressible in BOTH Spark (Java
+# regex) and DuckDB (RE2) with identical semantics — keep it to character
+# classes only.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"

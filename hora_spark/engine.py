@@ -1,0 +1,115 @@
+"""Engine — the user-facing four-verb lifecycle.
+
+Mirrors the horapy surface shown in the reference README
+(/root/reference/README.md:176-199: HNSWIndex(dimension, ...) → add →
+build → search) and the ANNIndex trait (/root/reference/src/core/
+ann_index.rs:25-121):
+
+    eng = Engine(spark, index_path)
+    eng.build(transcripts_df)          # build(metric)       — freeze rows
+    eng.search("error in tool", k=10)  # node_search_k       — top-k
+    eng.searches([...], k=10)          # batched search
+    eng.built() / eng.nodes_size() / eng.idx_info()
+    # dump/load == snapshot commits: Engine(spark, same_path) reattaches,
+    # Engine.build(resume=True) resumes a crashed build from lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hora_spark.config import EngineConfig
+from hora_spark.operators import build_index as _build
+from hora_spark.operators import corpus as _corpus
+from hora_spark.operators import query as _query
+from hora_spark.sources.storage import SnapshotStore
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, path: str, cfg: EngineConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or EngineConfig()
+        self.store = SnapshotStore(spark, path)
+
+    # ------------------------------------------------------------ build ---
+    def build(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str | None = None,
+        order_cols: list[str] | None = None,
+        waves: int = 1,
+        resume: bool = False,
+        build_id: str = "build-0",
+        use_pandas_udf: bool = True,
+        fail_after_wave: int | None = None,
+    ) -> dict:
+        """Freeze `df` into the searchable segment table.
+
+        id_col=None assigns doc_id by dense rank over order_cols (default
+        (conv_id, turn_idx) — the transcripts invariant)."""
+        if resume and self.store.exists("tf_staged"):
+            corpus = None  # staged tf is reused; corpus recompute skipped
+        else:
+            corpus = _corpus.prepare(
+                df,
+                text_col=text_col,
+                id_col=id_col,
+                order_cols=order_cols or ["conv_id", "turn_idx"],
+                cfg=self.cfg,
+                use_pandas_udf=use_pandas_udf,
+            )
+        if corpus is None:
+            # rebuild a minimal Corpus view from the snapshot for resume
+            tf = self.store.read("tf_staged")
+            meta = self.store.meta()
+            corpus = _corpus.Corpus(
+                docs=tf.select("doc_id", "dl").distinct(),
+                tf=tf.select("doc_id", "dl", "term", "tf"),
+                term_stats=self.store.read("stats"),
+                n_docs=int(meta["n_docs"]),
+                avgdl=float(meta["avgdl"]),
+            )
+        return _build.build_index(
+            self.spark,
+            corpus,
+            self.store,
+            cfg=self.cfg,
+            build_id=build_id,
+            waves=waves,
+            resume=resume,
+            fail_after_wave=fail_after_wave,
+        )
+
+    # ----------------------------------------------------------- search ---
+    def search(self, query: str, k: int | None = None, prune: bool = True,
+               version: int | None = None) -> DataFrame:
+        return self.searches([query], k=k, prune=prune, version=version).drop("query_id")
+
+    def searches(self, queries: list[str], k: int | None = None, prune: bool = True,
+                 version: int | None = None) -> DataFrame:
+        return _query.search_topk(
+            self.spark, self.store, queries, k=k or self.cfg.k_default,
+            cfg=self.cfg, prune=prune, version=version,
+        )
+
+    # ------------------------------------------------------------ state ---
+    def built(self) -> bool:
+        """/root/reference/src/core/ann_index.rs:64 — here: a committed
+        segments table exists in the current snapshot."""
+        try:
+            return self.store.exists("segments")
+        except FileNotFoundError:
+            return False
+
+    def nodes_size(self) -> int:
+        """ann_index.rs:105-107 — docs in the built index."""
+        return int(self.store.meta().get("n_docs", 0))
+
+    def idx_info(self) -> DataFrame:
+        """ann_index.rs:113-115 is a stub in the reference; the north_rule
+        makes it real: the per-partition lineage/metrics table."""
+        return self.store.read("lineage")
+
+    def clear(self) -> None:
+        self.store.drop()

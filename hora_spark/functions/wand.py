@@ -1,0 +1,211 @@
+"""Shard-local top-k scoring: DAAT over compressed postings with block-max
+pruning — numpy-vectorized, exact.
+
+Capability analog of hora's two pruned-search ideas:
+- the beam's early exit `if cur_dist > lower_bound break`
+  (/root/reference/src/index/hnsw_idx.rs:284-290,344-350): here the bound is
+  θ = k-th best score so far; any block set whose summed block_max ≤ θ can
+  be skipped without decoding;
+- PQ's ADC lookup table (precompute query→center distances once, O(1) per
+  doc, /root/reference/src/index/pq_idx.rs:165-194): here the precomputed
+  quantities are per-term idf and per-block max BM25 contribution
+  (block_max already INCLUDES the idf factor), written at build time.
+
+Exactness: block_max is a true upper bound (max over the block of
+idf·tf/(tf+k1·(1-b+b·dl/avgdl)) with each doc's REAL dl), so skipping a
+region whose upper bound ≤ θ can never evict a true top-k member. The
+pruned path must therefore return exactly what the exhaustive path returns
+— asserted in tests, mirroring the reference's brute-force-vs-index
+agreement harness (/root/reference/src/lib.rs:89-111).
+
+Rather than a per-doc Python loop (banned: per-row Python), the pruning is
+*block-granular and batch-ordered*: elementary doc-id intervals are ranked
+by their summed upper bound and decoded in descending-bound batches; after
+each batch θ tightens, and the loop stops at the first interval whose bound
+≤ θ. Everything inside a batch is numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hora_spark.functions.codec import decode_block
+
+
+class TermPosting:
+    """Decoded-on-demand posting list of one (term, shard) segment row."""
+
+    __slots__ = ("idf", "doc_blocks", "tf_blocks", "block_last", "block_max", "block_start", "_cache")
+
+    def __init__(self, idf, doc_blocks, tf_blocks, block_last, block_max):
+        self.idf = float(idf)
+        self.doc_blocks = doc_blocks
+        self.tf_blocks = tf_blocks
+        self.block_last = np.asarray(block_last, dtype=np.int64)
+        self.block_max = np.asarray(block_max, dtype=np.float64)
+        # first doc id of each block = prev block's last + 1 (lower bound);
+        # block j covers doc ids in [block_start[j], block_last[j]]
+        self.block_start = np.empty_like(self.block_last)
+        if len(self.block_last):
+            self.block_start[0] = 0
+            self.block_start[1:] = self.block_last[:-1] + 1
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode(self, j: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._cache.get(j)
+        if got is None:
+            base = int(self.block_last[j - 1]) if j > 0 else 0
+            ids = decode_block(self.doc_blocks[j], base=base, delta=True)
+            tfs = decode_block(self.tf_blocks[j], delta=False)
+            got = (ids, tfs)
+            self._cache[j] = got
+        return got
+
+
+def _tf_sat(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """top-k by (score DESC, doc_id ASC) — the pinned tie-break
+    (hora's Neighbor ordering, /root/reference/src/core/neighbor.rs:30-34)."""
+    if len(doc_ids) == 0:
+        return doc_ids, scores
+    if len(doc_ids) > k:
+        # keep everything >= the k-th score so ties are resolved exactly
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        keep = scores >= kth
+        doc_ids, scores = doc_ids[keep], scores[keep]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def _score_terms_on_docs(
+    terms: list[TermPosting],
+    blocks_per_term: list[np.ndarray],
+    lo: int,
+    hi: int,
+    norm_ids: np.ndarray,
+    norm_dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact scores of all docs with id in [lo, hi] across `terms`,
+    decoding only the listed blocks. Accumulation order = term list order
+    (sorted by term at the call site) → deterministic float sums."""
+    all_ids: list[np.ndarray] = []
+    all_contrib: list[np.ndarray] = []
+    for t, blocks in zip(terms, blocks_per_term):
+        for j in blocks:
+            ids, tfs = t.decode(int(j))
+            m = (ids >= lo) & (ids <= hi)
+            if not m.any():
+                continue
+            ids_m, tfs_m = ids[m], tfs[m]
+            dls = norm_dls[np.searchsorted(norm_ids, ids_m)]
+            all_ids.append(ids_m)
+            all_contrib.append(t.idf * _tf_sat(tfs_m, dls.astype(np.float64), avgdl, k1, b))
+    if not all_ids:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cat_ids = np.concatenate(all_ids)
+    cat_con = np.concatenate(all_contrib)
+    uids, inv = np.unique(cat_ids, return_inverse=True)
+    scores = np.zeros(len(uids), dtype=np.float64)
+    np.add.at(scores, inv, cat_con)
+    return uids, scores
+
+
+def shard_topk(
+    terms: list[TermPosting],
+    norm_ids: np.ndarray,
+    norm_dls: np.ndarray,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    prune: bool = True,
+    batch_docs: int = 8192,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (doc_ids, scores) of one shard for one query.
+
+    terms MUST be in sorted term order (pinned summation order).
+    prune=False is the exhaustive decode-all path (test oracle).
+    """
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    if not prune:
+        blocks_all = [np.arange(len(t.block_last)) for t in terms]
+        ids, scores = _score_terms_on_docs(
+            terms, blocks_all, 0, np.iinfo(np.int64).max, norm_ids, norm_dls, avgdl, k1, b
+        )
+        return _topk(ids, scores, k)
+
+    # ---- block-max pruned path -------------------------------------------
+    # elementary intervals over all block boundaries
+    bounds = np.unique(
+        np.concatenate(
+            [t.block_start for t in terms] + [t.block_last + 1 for t in terms]
+        )
+    )
+    lo_edges = bounds[:-1]          # interval i = [lo_edges[i], bounds[i+1]-1]
+    hi_edges = bounds[1:] - 1
+    n_int = len(lo_edges)
+    if n_int == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    ub = np.zeros(n_int, dtype=np.float64)
+    # which block of term t covers each interval (or none)
+    cover: list[np.ndarray] = []
+    for t in terms:
+        # block j covers interval i iff block_start[j] <= lo and hi <= block_last[j]
+        j = np.searchsorted(t.block_last, lo_edges, side="left")
+        j = np.clip(j, 0, len(t.block_last) - 1)
+        ok = (t.block_start[j] <= lo_edges) & (hi_edges <= t.block_last[j])
+        contrib = np.where(ok, t.block_max[j], 0.0)
+        ub += contrib
+        cover.append(np.where(ok, j, -1))
+
+    order = np.argsort(-ub, kind="stable")
+    top_ids = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float64)
+    theta = -np.inf
+    pos = 0
+    while pos < len(order):
+        # strict <: a doc can ATTAIN ub (max in every covering block), and a
+        # tie at θ with a smaller doc_id outranks the incumbent — skipping
+        # ub == θ would break exact tie-break identity with the oracle
+        if ub[order[pos]] < theta and len(top_ids) >= k:
+            break  # every remaining interval is provably below θ
+        # take a batch of intervals (bounded decoded width)
+        batch = [order[pos]]
+        width = int(hi_edges[order[pos]] - lo_edges[order[pos]] + 1)
+        pos += 1
+        while pos < len(order) and width < batch_docs:
+            nxt = order[pos]
+            if ub[nxt] < theta and len(top_ids) >= k:
+                break
+            batch.append(nxt)
+            width += int(hi_edges[nxt] - lo_edges[nxt] + 1)
+            pos += 1
+        batch = np.array(batch)
+        ids_list, sc_list = [], []
+        for i in batch:
+            blocks_per_term = [
+                np.array([cover[ti][i]]) if cover[ti][i] >= 0 else np.empty(0, np.int64)
+                for ti in range(len(terms))
+            ]
+            ids_i, sc_i = _score_terms_on_docs(
+                terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
+                norm_ids, norm_dls, avgdl, k1, b,
+            )
+            ids_list.append(ids_i)
+            sc_list.append(sc_i)
+        ids_b = np.concatenate([top_ids] + ids_list)
+        sc_b = np.concatenate([top_scores] + sc_list)
+        top_ids, top_scores = _topk(ids_b, sc_b, k)
+        if len(top_ids) >= k:
+            theta = top_scores[-1] if len(top_scores) else -np.inf
+    return top_ids, top_scores

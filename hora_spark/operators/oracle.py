@@ -1,0 +1,62 @@
+"""Brute-force full-scan BM25 top-k — the exactness oracle.
+
+Direct capability analog of hora's BruteForceIndex (/root/reference/src/
+index/bruteforce_idx.rs:47-73: full scan + bounded max-heap of size k+1,
+reverse at the end), which is the recall baseline every other index is
+judged against (/root/reference/src/lib.rs:89-101). Here the full scan is a
+broadcast join of the (tiny) query-term table against the tf table, a
+groupBy(doc_id) partial+final aggregation, and Catalyst's
+TakeOrderedAndProject for the bounded top-k (the heap's exact distributed
+equivalent: per-partition top-k, merged on the driver).
+
+Everything is built-in DataFrame ops — no UDF — so the whole plan is
+whole-stage-codegen and the filter on query terms is pushed into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hora_spark.config import EngineConfig
+from hora_spark.functions.bm25 import score_col
+from hora_spark.functions.tokenize import tokenize_py
+from hora_spark.operators.corpus import Corpus
+
+
+def query_terms_df(spark, query: str, corpus: Corpus, cfg: EngineConfig) -> DataFrame:
+    """Tokenize the query with THE SAME tokenizer, dedup terms, attach idf.
+
+    Duplicate query terms are scored once (standard bag-of-words BM25 over
+    the distinct query vocabulary; pinned convention for all paths)."""
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        terms = ["\x00__no_such_term__"]
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    return qdf.join(F.broadcast(corpus.term_stats), "term", "inner")
+
+
+def bruteforce_topk(
+    spark,
+    corpus: Corpus,
+    query: str,
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Exact top-k: (doc_id, score) ordered by (score DESC, doc_id ASC).
+
+    The per-doc score sums contributions over matched query terms; docs
+    matching no term never appear (score 0 docs are excluded, like a heap
+    that never sees them)."""
+    cfg = cfg or EngineConfig()
+    q = query_terms_df(spark, query, corpus, cfg)
+    scored = (
+        corpus.tf.join(F.broadcast(q.select("term", "idf")), "term", "inner")
+        .withColumn(
+            "contrib",
+            score_col(F.col("tf"), F.col("dl"), F.col("idf"), F.lit(corpus.avgdl), cfg.bm25),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,163 @@
+"""Top-k BM25 retrieval over the segment table — the `search(item, k)`
+analog (/root/reference/src/core/ann_index.rs:74-97).
+
+Lifecycle (mirrors SURVEY.md §3.2):
+  tokenize query with THE SAME tokenizer (driver-side, tiny)
+  → look up query-term idf from the stats table (predicate-pushed filter,
+    small collect — the query-vs-centroid ranking analog,
+    /root/reference/src/index/pq_idx.rs:413-421)
+  → scan segments WHERE term IN (query terms): parquet row-group pruning
+    via min/max on the term column (segments are written sorted by term
+    within each shard) — the `search_n_center` probe analog: only matching
+    index data is read
+  → per shard: DAAT + block-max WAND in a grouped pandas UDF → local top-k;
+    the per-shard doc-length sidecar (norms) arrives via COGROUP on
+    shard_id, so no doc-proportional state ever moves through the driver
+  → global top-k: orderBy(score DESC, doc_id ASC) LIMIT k per query
+    (TakeOrderedAndProject / window rank — per-partition heaps merged,
+    exactly hora's heap truncation, /root/reference/src/index/
+    hnsw_idx.rs:434-437)
+
+Queries are BATCHED: one Spark job scores any number of queries; the shard
+UDF loops over queries in numpy, and the global top-k becomes a per-query
+window rank. Single-query latency is the batch of one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hora_spark.config import EngineConfig
+from hora_spark.functions.codec import decode_block
+from hora_spark.functions.tokenize import tokenize_py
+from hora_spark.functions.wand import TermPosting, shard_topk
+from hora_spark.sources.storage import SnapshotStore
+
+RESULT_SCHEMA = "query_id int, doc_id long, score double"
+
+_EMPTY = pd.DataFrame(
+    {"query_id": pd.Series([], dtype=np.int32),
+     "doc_id": pd.Series([], dtype=np.int64),
+     "score": pd.Series([], dtype=np.float64)}
+)
+
+
+def _shard_search(
+    seg_pdf: pd.DataFrame,
+    norms_pdf: pd.DataFrame,
+    queries: list[list[str]],
+    idf_map: dict,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    prune: bool,
+) -> pd.DataFrame:
+    """One cogrouped shard: segment rows (all query terms present in this
+    shard) + the shard's norms row. Runs WAND once per query."""
+    if len(seg_pdf) == 0 or len(norms_pdf) == 0:
+        return _EMPTY
+    norm_ids = decode_block(bytes(norms_pdf["doc_ids"].iloc[0]), base=0, delta=True)
+    norm_dls = np.asarray(norms_pdf["dls"].iloc[0], dtype=np.float64)
+    postings: dict[str, TermPosting] = {}
+    for row in seg_pdf.itertuples(index=False):
+        postings[row.term] = TermPosting(
+            idf_map[row.term], row.doc_blocks, row.tf_blocks, row.block_last, row.block_max
+        )
+    out_q, out_d, out_s = [], [], []
+    for qid, terms in enumerate(queries):
+        tp = [postings[t] for t in terms if t in postings]
+        if not tp:
+            continue
+        ids, scores = shard_topk(tp, norm_ids, norm_dls, k, avgdl, k1, b, prune=prune)
+        out_q.append(np.full(len(ids), qid, np.int32))
+        out_d.append(ids)
+        out_s.append(scores)
+    if not out_q:
+        return _EMPTY
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
+def search_topk(
+    spark: SparkSession,
+    store: SnapshotStore,
+    queries: list[str],
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+    prune: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
+    rows per query, ordered (query_id, score DESC, doc_id ASC)."""
+    cfg = cfg or EngineConfig()
+    meta = store.meta(version)
+    avgdl = float(meta["avgdl"])
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+
+    q_terms = [sorted(set(tokenize_py(q))) for q in queries]
+    all_terms = sorted({t for ts in q_terms for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    # idf lookup: pushdown filter on the stats table (term-sorted parquet);
+    # result is query-sized (≤ |distinct query terms| rows) → tiny collect
+    stats = store.read("stats", version).filter(F.col("term").isin(all_terms))
+    idf_map = {r["term"]: float(r["idf"]) for r in stats.select("term", "idf").collect()}
+    live_terms = sorted(t for t in all_terms if t in idf_map)
+    if not live_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    b_queries = spark.sparkContext.broadcast(q_terms)
+    b_idf = spark.sparkContext.broadcast(idf_map)
+
+    segs = (
+        store.read("segments", version)
+        .filter(F.col("term").isin(live_terms))
+        .select("shard_id", "term", "doc_blocks", "tf_blocks", "block_last", "block_max")
+    )
+    norms = store.read("norms", version)
+
+    def run(seg_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _shard_search(
+            seg_pdf, norms_pdf, b_queries.value, b_idf.value, k, avgdl, k1, b, prune
+        )
+
+    local = (
+        segs.groupBy("shard_id")
+        .cogroup(norms.groupBy("shard_id"))
+        .applyInPandas(run, RESULT_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_with_text(
+    spark: SparkSession,
+    store: SnapshotStore,
+    source_df: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """search_nodes analog (/root/reference/src/core/ann_index.rs:81-84):
+    join the ≤ |queries|·k result ids back to the source table for payload
+    columns — the result side is tiny, so it is the broadcast side."""
+    res = search_topk(spark, store, queries, k=k, **kw)
+    return source_df.join(F.broadcast(res), source_df[id_col] == res["doc_id"], "inner").drop(
+        res["doc_id"]
+    )

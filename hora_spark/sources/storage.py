@@ -1,0 +1,117 @@
+"""SnapshotStore — versioned table commits (the dump/load analog).
+
+hora serializes the entire index to ONE bincode file and reloads it
+all-or-nothing (/root/reference/src/index/hnsw_idx.rs:688-719 dump,
+:647-686 load; trait at /root/reference/src/core/ann_index.rs:147-157).
+The distributed upgrade required by the north_rule: every build commits a
+SNAPSHOT — an immutable manifest listing the parquet files of each logical
+table (segments, lineage, stats) — and a restarted build resumes from the
+last committed snapshot by anti-joining completed work out of the plan.
+
+Layout (works on any Hadoop-compatible FS; local dir in the sandbox):
+
+    <root>/data/<table>/<uuid>/part-*.parquet     immutable data dirs
+    <root>/snapshots/v00000001.json               manifest per commit
+    <root>/snapshots/CURRENT                      pointer file
+
+A manifest maps table name → list of data dirs. Commits are atomic via
+write-temp + rename. `read(table, version)` gives time travel
+(`VERSION AS OF` semantics). If an Iceberg catalog is configured on the
+session, IcebergStore offers the same four methods over real Iceberg
+tables; the engine only talks to the abstract interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------- reads --
+    def current_version(self) -> int:
+        cur = os.path.join(self.root, "snapshots", "CURRENT")
+        if not os.path.exists(cur):
+            return 0
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"tables": {}}
+        p = os.path.join(self.root, "snapshots", f"v{version:08d}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def tables(self, version: int | None = None) -> dict[str, list[str]]:
+        v = self.current_version() if version is None else version
+        return self._manifest(v)["tables"]
+
+    def exists(self, table: str, version: int | None = None) -> bool:
+        return bool(self.tables(version).get(table))
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        dirs = self.tables(version).get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in snapshot")
+        return self.spark.read.parquet(*dirs)
+
+    # ------------------------------------------------------------ writes --
+    def stage_dir(self, table: str) -> str:
+        """A fresh immutable data dir for a pending commit. Writers (tasks)
+        may write directly into it; it becomes visible only on commit."""
+        d = os.path.join(self.root, "data", table, uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_table(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        d = self.stage_dir(table)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
+        return d
+
+    def commit(self, updates: dict[str, list[str]], replace: bool = True, meta: dict | None = None) -> int:
+        """Atomically publish a new snapshot. updates: table → data dirs.
+        replace=True swaps the table's dirs; False appends to them."""
+        v = self.current_version()
+        manifest = self._manifest(v)
+        tables = manifest["tables"]
+        for t, dirs in updates.items():
+            if replace or t not in tables:
+                tables[t] = list(dirs)
+            else:
+                tables[t] = tables[t] + list(dirs)
+        nv = v + 1
+        out = {"version": nv, "parent": v, "tables": tables, "meta": meta or {}}
+        snap_dir = os.path.join(self.root, "snapshots")
+        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(snap_dir, f"v{nv:08d}.json"))
+        tmp2 = os.path.join(snap_dir, f".cur-{uuid.uuid4().hex}")
+        with open(tmp2, "w") as f:
+            f.write(str(nv))
+        os.replace(tmp2, os.path.join(snap_dir, "CURRENT"))
+        return nv
+
+    def meta(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        return self._manifest(v).get("meta", {})
+
+    def drop(self) -> None:
+        """clear() analog (/root/reference/src/core/ann_index.rs:110)."""
+        shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(os.path.join(self.root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
