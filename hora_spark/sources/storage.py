@@ -94,7 +94,9 @@ class SnapshotStore:
             else:
                 tables[t] = tables[t] + list(dirs)
         nv = v + 1
-        out = {"version": nv, "parent": v, "tables": tables, "meta": meta or {}}
+        merged_meta = dict(manifest.get("meta", {}))
+        merged_meta.update(meta or {})
+        out = {"version": nv, "parent": v, "tables": tables, "meta": merged_meta}
         snap_dir = os.path.join(self.root, "snapshots")
         tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
