@@ -64,7 +64,15 @@ class SnapshotStore:
         dirs = self.tables(version).get(table)
         if not dirs:
             raise FileNotFoundError(f"table {table!r} not in snapshot")
-        return self.spark.read.parquet(*dirs)
+        if len(dirs) == 1:
+            return self.spark.read.parquet(dirs[0])
+        # appended commits = multiple immutable dirs, each its own
+        # hive-partitioned root → per-dir scan + unionByName (keeps each
+        # dir's partition pruning intact)
+        df = self.spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            df = df.unionByName(self.spark.read.parquet(d))
+        return df
 
     # ------------------------------------------------------------ writes --
     def stage_dir(self, table: str) -> str:
