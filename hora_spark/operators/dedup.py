@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- exact:        md5(normalized text) groupBy — one shuffle, map-side
+                partial agg, keep min doc_id per group.
+- minhash LSH:  shingle → k salted-md5 minhashes → band buckets →
+                candidate pairs within buckets → exact Jaccard verify.
+                Portable hashing (md5) keeps the WHOLE pipeline
+                SQL-expressible → full DuckDB oracle.
+- simhash:      64-bit bitwise-majority fingerprint from token md5s;
+                near-dup = identical simhash band keys (Hamming blocking).
+- ngram-jaccard: exact pairwise Jaccard via a token-set self-join
+                (quadratic — gated to small/candidate sets; LSH is the
+                scale path).
+
+Scale notes: LSH candidate generation is the classic band-bucket
+shuffle; bucket skew (boilerplate docs) is bounded by capping bucket size
+(a bucket of b docs yields b² pairs — huge buckets ARE duplicate classes
+already and are emitted directly, not pair-expanded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hora_spark.functions.tokenize import tokens_col
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Canonical form for exact dedup: tokenized and re-joined — whitespace
+    and punctuation-insensitive."""
+    return F.concat_ws(" ", tokens_col(text))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact (normalized) duplicates: one row per duplicated
+    content hash with the member count and the kept (min) id."""
+    h = F.md5(normalized_text_col(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each content class (distributed:
+    window-free, one groupBy + semi-join)."""
+    h = F.md5(normalized_text_col(F.col(text_col)))
+    with_h = df.withColumn("content_hash", h)
+    keep = with_h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return with_h.join(keep, ["content_hash", id_col], "left_semi").drop("content_hash")
+
+
+# ------------------------------------------------------------- MinHash ---
+
+def shingles_col(text: Column, w: int = 3) -> Column:
+    """Distinct w-gram token shingles (joined by single space)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(w), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)))
+    return F.when(n >= w, F.array_distinct(grams)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature_col(text: Column, n_hashes: int = 16, w: int = 3) -> Column:
+    """k salted-md5 min-hashes over the shingle set. md5 is the portable
+    'random permutation': min over md5(i || ':' || shingle) per salt i."""
+    sh = shingles_col(text, w)
+    sig = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from banded MinHash buckets.
+
+    bands × rows_per_band = n_hashes; a pair collides if ANY band's row
+    slice matches exactly. Bucket-size cap bounds the b² pair blowup on
+    boilerplate-heavy corpora (skew guard)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature_col(F.col(text_col), n_hashes, w)
+    base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    band_keys = base.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r]
+                                             for r in range(rows_per_band)])).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # bucket-size cap: huge buckets are dup classes, not pair material
+    sized = band_keys.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = small.alias("a")
+    b = small.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs (or all pairs if
+    pairs is None — quadratic, test-scale only). Returns
+    (doc_a, doc_b, jaccard) with jaccard rounded to 6dp."""
+    sh = df.select(F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), w).alias("sh"))
+    if pairs is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        joined = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
+        b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+        joined = (
+            pairs.join(a, "doc_a").join(b, "doc_b")
+            .select(F.col("doc_a").alias("a_doc_id"), F.col("doc_b").alias("b_doc_id"),
+                    F.col("sh_a").alias("a_sh"), F.col("sh_b").alias("b_sh"))
+        )
+        inter = F.size(F.array_intersect("a_sh", "b_sh"))
+        union = F.size(F.array_union("a_sh", "b_sh"))
+        return (
+            joined.select(
+                F.col("a_doc_id").alias("doc_a"),
+                F.col("b_doc_id").alias("doc_b"),
+                F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        joined.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- SimHash ---
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash via bitwise majority over token md5s (first 16 hex
+    chars → bigint via conv). Built-ins only; per-bit majority expressed as
+    a sum over +1/-1 contributions."""
+    toks = tokens_col(text)
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    # bit b of result = 1 iff sum over tokens of (bit set ? 1 : -1) > 0
+    bit_cols = []
+    for b in range(60):  # 15 hex chars = 60 bits
+        ones = F.size(F.filter(h, lambda v, b=b: v.bitwiseAND(F.lit(1 << b)) != 0))
+        total = F.size(h)
+        bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("long")
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 15
+) -> DataFrame:
+    """Hamming-distance blocking: docs agreeing on any 15-bit band of the
+    60-bit simhash are candidates (catches Hamming distance ≤ 3)."""
+    base = df.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("sh"))
+    bands = base.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("sh", i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"))
+            for i in range(60 // band_bits)
+        ])).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"))
+        .distinct()
+    )
