@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build": {...}, "scaling": {...}}
+
+Covers the reference's two benchmark surfaces
+(/root/reference/examples/src/ann_bench.rs: build time + QPS; recall is
+covered by the correctness gates instead):
+
+- index-build throughput (turns/sec) over deterministic synthetic
+  transcripts at TWO parallelism levels (local[N/4] vs local[N], separate
+  JVMs) → scaling efficiency = T_small / (4 · T_big) per BASELINE.md;
+- top-k BM25 query latency p50 over the fixed query set (WAND path);
+- headline operator timings at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Also rewrites BENCH.md with the human-readable scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("HORA_BENCH_CONVS", "6000"))  # ≈78k turns
+QUERY_SET = [
+    "join hash row", "scan window spark", "dup", "dup join",
+    "filter merge sort batch stream", "the fast key", "column vector",
+    "big small slow", "query order group", "value data line",
+]
+
+
+def _scaling_run(cores: int, n_convs: int) -> None:
+    """Subprocess entry: build the full index over generated transcripts at
+    local[cores]; print JSON {turns, wall_s, throughput}."""
+    os.environ["HORA_SPARK_MASTER"] = f"local[{cores}]"
+    from hora_spark.datagen import generate_transcripts
+    from hora_spark.engine import Engine
+    from hora_spark.session import get_spark
+
+    spark = get_spark(f"bench_scaling_{cores}", cores=cores)
+    df = generate_transcripts(spark, n_convs, seed=42, partitions=cores * 2).cache()
+    n_turns = df.count()
+    path = tempfile.mkdtemp(prefix=f"hora_bench_{cores}_")
+    try:
+        t0 = time.perf_counter()
+        eng = Engine(spark, path)
+        eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+        wall = time.perf_counter() - t0
+        # query p50 at this parallelism as well
+        lat = []
+        for q in QUERY_SET[:5]:
+            tq = time.perf_counter()
+            eng.search(q, k=10).collect()
+            lat.append(time.perf_counter() - tq)
+        print(json.dumps({
+            "cores": cores, "turns": n_turns, "wall_s": round(wall, 3),
+            "throughput": round(n_turns / wall, 1),
+            "query_p50_s": round(statistics.median(lat), 4),
+        }))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        spark.stop()
+
+
+def _run_scaling(cores: int, n_convs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cores), str(n_convs)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from hora_spark.engine import Engine
+    from hora_spark.config import EngineConfig, IndexConfig
+    from hora_spark.operators import dedup, similarity
+    from hora_spark.session import get_spark
+
+    spark = get_spark("hora_bench", cores=CPUS)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    docs.count()
+
+    # ---- index build + query latency over the sf documents corpus --------
+    idx_path = tempfile.mkdtemp(prefix="hora_bench_idx_")
+    eng = Engine(spark, idx_path, EngineConfig(index=IndexConfig(block_size=128, n_buckets=16)))
+    timed("q_index_build_docs", lambda: eng.build(docs, id_col="doc_id"))
+
+    lat = []
+    for i, q in enumerate(QUERY_SET):
+        t0 = time.perf_counter()
+        eng.search(q, k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    timings["q_search_p50"] = round(statistics.median(lat), 4)
+    timings["q_search_total"] = round(sum(lat), 4)
+    timed("q_search_batched_10", lambda: eng.searches(QUERY_SET, k=10).collect())
+
+    # ---- oracle path, dedup, knn, relational ------------------------------
+    qs = entrymod.queries()
+    for name in ("bm25_topk_hot", "exact_dedup_count", "minhash_lsh_pairs",
+                 "text_stats", "knn_bruteforce", "tpch_q1", "events_sessions"):
+        timed(f"q_{name}", lambda n=name: qs[n](spark, SF_DIR).collect())
+
+    # ---- scaling evidence: same job at two parallelism levels -------------
+    scaling = {}
+    if os.environ.get("HORA_BENCH_SKIP_SCALING") != "1":
+        small_cores = max(2, CPUS // 4)
+        t0 = time.perf_counter()
+        lo = _run_scaling(small_cores, N_CONVS)
+        hi = _run_scaling(CPUS, N_CONVS)
+        eff = (lo["wall_s"] / hi["wall_s"]) / (CPUS / small_cores)
+        scaling = {
+            "n_turns": hi["turns"],
+            f"local[{small_cores}]": lo,
+            f"local[{CPUS}]": hi,
+            "speedup": round(lo["wall_s"] / hi["wall_s"], 3),
+            "efficiency": round(eff, 3),
+            "harness_wall_s": round(time.perf_counter() - t0, 1),
+        }
+        _write_bench_md(scaling, small_cores, timings)
+
+    result = {
+        "metric": "hora_spark_headline_total",
+        "value": round(sum(v for v in timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "scaling": scaling,
+    }
+    shutil.rmtree(idx_path, ignore_errors=True)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def _write_bench_md(scaling: dict, small_cores: int, timings: dict) -> None:
+    lo = scaling[f"local[{small_cores}]"]
+    hi = scaling[f"local[{CPUS}]"]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — measured numbers (sandbox, single host)
+
+## Index-build scaling (north_rule evidence: same job, same input, two
+## parallelism levels — the sandbox stand-in for N vs 4N executors)
+
+| parallelism | turns | build wall (s) | throughput (turns/s) | query p50 (s) |
+|---|---|---|---|---|
+| local[{small_cores}] | {lo['turns']} | {lo['wall_s']} | {lo['throughput']} | {lo['query_p50_s']} |
+| local[{CPUS}] | {hi['turns']} | {hi['wall_s']} | {hi['throughput']} | {hi['query_p50_s']} |
+
+speedup {small_cores}→{CPUS} cores: **{scaling['speedup']}×** over a {CPUS // small_cores}× core
+increase → scaling efficiency **{scaling['efficiency']}** (target ≥ 0.8 per
+BASELINE.json north_rule; measured on identical input with shuffle
+partitions proportional to cores).
+
+## Headline operator timings ({SF_DIR})
+
+| op | sec |
+|---|---|
+""")
+        for k, v in sorted(timings.items()):
+            f.write(f"| {k} | {v} |\n")
+        f.write("\nRegenerate: `python bench.py` (env: SPARK_GRAFT_SF_DIR, "
+                "SPARK_GRAFT_CPUS, HORA_BENCH_CONVS, HORA_BENCH_SKIP_SCALING=1).\n")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-run":
+        _scaling_run(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -72,11 +72,13 @@ def minhash_signature_col(text: Column, n_hashes: int = 16, w: int = 3) -> Colum
     """k salted-md5 min-hashes over the shingle set. md5 is the portable
     'random permutation': min over md5(i || ':' || shingle) per salt i."""
     sh = shingles_col(text, w)
-    sig = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(n_hashes)
-    ]
-    return F.array(*sig)
+
+    # unary lambda via closure — a second (default) param would make Spark
+    # bind the array index to it
+    def salted(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(*[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -178,11 +180,16 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     a sum over +1/-1 contributions."""
     toks = tokens_col(text)
     h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    # bit b of result = 1 iff sum over tokens of (bit set ? 1 : -1) > 0
+    # bit b of result = 1 iff sum over tokens of (bit set ? 1 : -1) > 0.
+    # NB: the predicate must be a UNARY lambda — a second (default) param
+    # would make Spark pass the array index into it.
+    def bit_set(mask: int):
+        return lambda v: v.bitwiseAND(F.lit(mask)) != 0
+
     bit_cols = []
+    total = F.size(h)
     for b in range(60):  # 15 hex chars = 60 bits
-        ones = F.size(F.filter(h, lambda v, b=b: v.bitwiseAND(F.lit(1 << b)) != 0))
-        total = F.size(h)
+        ones = F.size(F.filter(h, bit_set(1 << b)))
         bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
     out = bit_cols[0]
     for c in bit_cols[1:]:

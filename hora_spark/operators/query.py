@@ -60,16 +60,28 @@ def _shard_search(
     shard) + the shard's norms row. Runs WAND once per query."""
     if len(seg_pdf) == 0 or len(norms_pdf) == 0:
         return _EMPTY
-    norm_ids = decode_block(bytes(norms_pdf["doc_ids"].iloc[0]), base=0, delta=True)
-    norm_dls = np.asarray(norms_pdf["dls"].iloc[0], dtype=np.float64)
-    postings: dict[str, TermPosting] = {}
+    # norms may be several rows after incremental appends (merge-on-read):
+    # concatenate sorted
+    nid_parts, ndl_parts = [], []
+    for row in norms_pdf.itertuples(index=False):
+        nid_parts.append(decode_block(bytes(row.doc_ids), base=0, delta=True))
+        ndl_parts.append(np.asarray(row.dls, dtype=np.float64))
+    norm_ids = np.concatenate(nid_parts)
+    norm_dls = np.concatenate(ndl_parts)
+    order = np.argsort(norm_ids, kind="mergesort")
+    norm_ids, norm_dls = norm_ids[order], norm_dls[order]
+    # a term can have MULTIPLE segment rows (base build + appended deltas);
+    # each is an independent posting source — every doc lives in exactly
+    # one source, so summing per-source contributions stays exact and the
+    # per-source block maxima still add up to a true upper bound
+    postings: dict[str, list[TermPosting]] = {}
     for row in seg_pdf.itertuples(index=False):
-        postings[row.term] = TermPosting(
+        postings.setdefault(row.term, []).append(TermPosting(
             idf_map[row.term], row.doc_blocks, row.tf_blocks, row.block_last, row.block_max
-        )
+        ))
     out_q, out_d, out_s = [], [], []
     for qid, terms in enumerate(queries):
-        tp = [postings[t] for t in terms if t in postings]
+        tp = [p for t in terms if t in postings for p in postings[t]]
         if not tp:
             continue
         ids, scores = shard_topk(tp, norm_ids, norm_dls, k, avgdl, k1, b, prune=prune)

@@ -1,0 +1,250 @@
+"""Incremental index maintenance.
+
+hora supports adding items to an already-built HNSW via
+`add_single_item` (/root/reference/src/index/hnsw_idx.rs:498-521) — a
+shared-memory graph mutation. The log-structured distributed equivalent:
+
+- `append_build`: new rows get doc_ids continuing after the current max,
+  are tokenized/scored with the FROZEN corpus stats (N, avgdl, df stay at
+  build-time values, exactly as hora's graph keeps its structure when
+  items are appended — a rebuild refreshes stats), and are encoded into
+  NEW segment rows appended to the snapshot. Queries see a merge-on-read
+  union: multiple segment rows per (shard, term) are scored as independent
+  posting sources (each doc lives in exactly one source, so scores are
+  exact; upper bounds add, staying true bounds).
+
+- `merge_segments`: compaction — the `rebuild()` analog
+  (/root/reference/src/core/ann_index.rs:69-71) for the storage layout:
+  decode every (shard, term)'s row set, concatenate (doc-id-sorted), and
+  re-encode as a single row; commit replaces the segments table. Logical
+  content is unchanged (asserted in tests).
+
+- `stream_ingest`: Structured Streaming wrapper — readStream over a
+  directory, foreachBatch → append_build, one snapshot commit per batch
+  (exactly-once per batch id via the snapshot meta).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hora_spark.config import EngineConfig
+from hora_spark.functions.codec import decode_block, encode_block, decode_posting, encode_posting
+from hora_spark.operators.build_index import NORMS_SCHEMA, SEGMENT_SCHEMA, _encode_shard
+from hora_spark.operators.corpus import assign_doc_ids
+from hora_spark.functions.tokenize import tokenize_udf, tokens_col
+from hora_spark.sources.storage import SnapshotStore
+
+
+def append_build(
+    spark: SparkSession,
+    store: SnapshotStore,
+    new_df: DataFrame,
+    text_col: str = "text",
+    order_cols: list[str] | None = None,
+    cfg: EngineConfig | None = None,
+    batch_id: str = "delta-0",
+) -> dict:
+    """Index a batch of NEW rows against an existing snapshot."""
+    cfg = cfg or EngineConfig()
+    meta = store.meta()
+    shard_size = int(meta["shard_size"])
+    avgdl = float(meta["avgdl"])
+    n_docs_old = int(meta["n_docs"])
+    base_id = int(meta.get("next_doc_id", n_docs_old))
+
+    with_ids = assign_doc_ids(new_df, order_cols or ["conv_id", "turn_idx"]).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base_id)
+    )
+    base = with_ids.withColumn("terms", tokenize_udf(F.col(text_col))).withColumn(
+        "dl", F.size("terms")
+    ).filter(F.col("dl") > 0)
+    n_new = base.count()
+
+    tf = (
+        base.select("doc_id", "dl", F.explode("terms").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # frozen stats: idf from the build-time stats table; terms unseen at
+    # build time are not searchable until merge/rebuild (hora analog: a
+    # point inserted into a frozen graph can only link to existing nodes)
+    tf = tf.join(store.read("stats").select("term", "idf"), "term", "inner")
+    tf = tf.withColumn("shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
+
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    segs = tf.groupBy("shard_id").applyInPandas(
+        lambda pdf: _encode_shard(pdf, cfg.index.block_size, k1, b, avgdl), SEGMENT_SCHEMA
+    )
+    d_seg = store.stage_dir("segments")
+    segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
+
+    norms = base.select("doc_id", "dl").withColumn(
+        "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+    ).groupBy("shard_id").applyInPandas(_delta_norms, NORMS_SCHEMA)
+    d_norms = store.stage_dir("norms")
+    norms.write.mode("overwrite").parquet(d_norms)
+
+    lineage = spark.createDataFrame(
+        [(batch_id, -1, "", "", 0, n_new, 0, 0.0)],
+        "build_id string, seg_id int, term_lo string, term_hi string, "
+        "n_terms long, doc_count long, bytes long, wall_time_s double",
+    )
+    d_lin = store.stage_dir("lineage")
+    lineage.write.mode("overwrite").parquet(d_lin)
+    v = store.commit(
+        {"segments": [d_seg], "norms": [d_norms], "lineage": [d_lin]},
+        replace=False,
+        meta={"n_docs": n_docs_old + n_new, "next_doc_id": base_id + n_new,
+              "last_batch_id": batch_id},
+    )
+    return {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}
+
+
+def _delta_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "shard_id": [int(pdf["shard_id"].iloc[0])],
+        "doc_ids": [encode_block(ids, base=0, delta=True)],
+        "dls": [pdf["dl"].to_numpy(np.int32).tolist()],
+    })
+
+
+def _merge_shard(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Compact one shard: all rows per term → one row. block_max is
+    recomputed from per-posting contributions carried in block_max of the
+    sources? No — it must be recomputed exactly, so we re-derive it from
+    the decoded (tf, dl) pairs, which requires dls: we instead carry the
+    max over merged blocks from source block boundaries. To stay exact we
+    recompute from decoded postings and the per-row idf-free block bounds:
+    since both sources were encoded with the same formula, re-encoding
+    needs (idf, dl) — we approximate nothing: sources carry per-block max
+    contribution; after concatenation blocks change, so we recompute
+    block_max as the max of source block maxima overlapping each new
+    block. That stays a TRUE upper bound (possibly loose), preserving
+    exactness of WAND."""
+    out = {c: [] for c in (
+        "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
+        "block_last", "block_n", "block_max", "encode_us",
+    )}
+    shard_id = int(pdf["shard_id"].iloc[0])
+    t0 = time.perf_counter()
+    for term, g in pdf.groupby("term", sort=True):
+        ids_parts, tf_parts, bounds = [], [], []
+        for row in g.itertuples(index=False):
+            ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
+            ids_parts.append(ids)
+            tf_parts.append(tfs)
+            # per-source block intervals with their max contribution
+            last = np.asarray(row.block_last, np.int64)
+            start = np.empty_like(last)
+            if len(last):
+                start[0] = 0
+                start[1:] = last[:-1] + 1
+            bounds.append((start, last, np.asarray(row.block_max, np.float64)))
+        all_ids = np.concatenate(ids_parts)
+        all_tfs = np.concatenate(tf_parts)
+        order = np.argsort(all_ids, kind="mergesort")
+        all_ids, all_tfs = all_ids[order], all_tfs[order]
+        db, tb, last, ns = encode_posting(all_ids, all_tfs, block_size)
+        # new block_max: max over source intervals overlapping the block
+        new_bmax = []
+        prev = 0
+        for j in range(len(last)):
+            lo = prev
+            hi = int(last[j])
+            m = 0.0
+            for s_start, s_last, s_bmax in bounds:
+                if len(s_last) == 0:
+                    continue
+                ov = (s_last >= lo) & (s_start <= hi)
+                if ov.any():
+                    m = max(m, float(s_bmax[ov].max()))
+            new_bmax.append(m)
+            prev = hi + 1
+        out["shard_id"].append(shard_id)
+        out["term"].append(term)
+        out["df_local"].append(int(len(all_ids)))
+        out["doc_blocks"].append(list(db))
+        out["tf_blocks"].append(list(tb))
+        out["block_last"].append(last.tolist())
+        out["block_n"].append(ns.astype(np.int32).tolist())
+        out["block_max"].append(new_bmax)
+        out["encode_us"].append(0)
+    if out["encode_us"]:
+        out["encode_us"][0] = int((time.perf_counter() - t0) * 1e6)
+    return pd.DataFrame(out)
+
+
+def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig | None = None) -> int:
+    """Compaction: one row per (shard, term); replaces the segments table.
+    Also merges the norms sidecar rows per shard."""
+    cfg = cfg or EngineConfig()
+    segs = store.read("segments")
+    merged = segs.groupBy("shard_id").applyInPandas(
+        lambda pdf: _merge_shard(pdf, cfg.index.block_size), SEGMENT_SCHEMA
+    )
+    d_seg = store.stage_dir("segments")
+    merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
+
+    norms = store.read("norms")
+
+    def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all, dls_all = [], []
+        for row in pdf.itertuples(index=False):
+            ids = decode_block(bytes(row.doc_ids), base=0, delta=True)
+            ids_all.append(ids)
+            dls_all.append(np.asarray(row.dls, np.int32))
+        ids = np.concatenate(ids_all)
+        dls = np.concatenate(dls_all)
+        order = np.argsort(ids, kind="mergesort")
+        return pd.DataFrame({
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "doc_ids": [encode_block(ids[order], base=0, delta=True)],
+            "dls": [dls[order].tolist()],
+        })
+
+    d_norms = store.stage_dir("norms")
+    norms.groupBy("shard_id").applyInPandas(merge_norms, NORMS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(d_norms)
+    return store.commit({"segments": [d_seg], "norms": [d_norms]}, replace=True)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    store: SnapshotStore,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    cfg: EngineConfig | None = None,
+    order_cols: list[str] | None = None,
+):
+    """Structured Streaming ingest: every micro-batch of new transcript
+    files becomes one delta-segment commit. Returns the streaming query
+    (caller awaits/stops). Use trigger(availableNow=True) for catch-up."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = store.meta().get("last_batch_id")
+        bid = f"stream-{batch_id}"
+        if last == bid:  # replayed batch after restart → idempotent skip
+            return
+        append_build(spark, store, batch_df, cfg=cfg, batch_id=bid,
+                     order_cols=order_cols)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,114 @@
+"""Incremental ingestion: append → merge-on-read correctness → compaction
+identity → Structured Streaming ingest (the distributed version of the
+reference's post-build `add_single_item`,
+/root/reference/src/index/hnsw_idx.rs:498-521)."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hora_spark.config import EngineConfig, IndexConfig
+from hora_spark.datagen import TRANSCRIPT_SCHEMA, generate_transcripts
+from hora_spark.engine import Engine
+from hora_spark.operators.corpus import prepare
+from hora_spark.operators.oracle import bruteforce_topk
+from hora_spark.streaming.incremental import append_build, merge_segments, stream_ingest
+
+CFG = EngineConfig(index=IndexConfig(block_size=16, n_buckets=8))
+QUERIES = ["the of and", "water people time", "w00123 the"]
+
+
+@pytest.fixture(scope="module")
+def split_data(spark):
+    base = generate_transcripts(spark, 60, seed=21).cache()
+    extra = (
+        generate_transcripts(spark, 25, seed=87)
+        .withColumn("conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+        .cache()
+    )
+    base.count(), extra.count()
+    yield base, extra
+    base.unpersist(), extra.unpersist()
+
+
+@pytest.fixture(scope="module")
+def appended_engine(spark, split_data, tmp_path_factory):
+    base, extra = split_data
+    path = str(tmp_path_factory.mktemp("inc"))
+    eng = Engine(spark, path, CFG)
+    eng.build(base, id_col=None, order_cols=["conv_id", "turn_idx"])
+    info = append_build(spark, eng.store, extra, cfg=CFG, batch_id="delta-1")
+    assert info["n_new_docs"] > 0
+    yield eng
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _frozen_oracle(spark, eng, base, extra, query, k):
+    """Brute-force oracle under FROZEN build-time stats: idf/avgdl from the
+    base corpus, scores over base+appended docs."""
+    c_base = prepare(base, id_col=None, order_cols=["conv_id", "turn_idx"],
+                     use_pandas_udf=False)
+    c_all = prepare(base.unionByName(extra), id_col=None,
+                    order_cols=["conv_id", "turn_idx"], use_pandas_udf=False)
+    # doc_id order: base convs sort before "xconv..." so appended ids extend
+    frozen = type(c_all)(
+        docs=c_all.docs, tf=c_all.tf, term_stats=c_base.term_stats,
+        n_docs=c_base.n_docs, avgdl=c_base.avgdl,
+    )
+    return bruteforce_topk(spark, frozen, query, k=k)
+
+
+def test_append_merge_on_read_exact(spark, split_data, appended_engine):
+    base, extra = split_data
+    for q in QUERIES:
+        got = appended_engine.search(q, k=15).collect()
+        want = _frozen_oracle(spark, appended_engine, base, extra, q, 15).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        np.testing.assert_allclose(
+            [r["score"] for r in got], [r["score"] for r in want], atol=1e-9
+        )
+
+
+def test_appended_docs_searchable(spark, split_data, appended_engine):
+    """Some result must come from the appended range for a common query."""
+    lin = appended_engine.store.read("lineage").collect()
+    res = appended_engine.search("the of and", k=100).collect()
+    meta = appended_engine.store.meta()
+    base_max = int(meta["next_doc_id"]) - int(
+        [r["doc_count"] for r in lin if r["build_id"] == "delta-1"][0]
+    )
+    assert any(r["doc_id"] >= base_max for r in res)
+
+
+def test_compaction_identity(spark, split_data, appended_engine):
+    """merge_segments must not change any query result, and must leave one
+    row per (shard, term)."""
+    before = {q: [(r["doc_id"], r["score"]) for r in appended_engine.search(q, k=15).collect()]
+              for q in QUERIES}
+    merge_segments(spark, appended_engine.store, CFG)
+    segs = appended_engine.store.read("segments")
+    dupes = segs.groupBy("shard_id", "term").count().filter(F.col("count") > 1).count()
+    assert dupes == 0
+    for q in QUERIES:
+        after = [(r["doc_id"], r["score"]) for r in appended_engine.search(q, k=15).collect()]
+        assert after == before[q], q
+
+
+def test_stream_ingest(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "sidx")
+    base = generate_transcripts(spark, 30, seed=5)
+    eng = Engine(spark, idx, CFG)
+    eng.build(base, id_col=None, order_cols=["conv_id", "turn_idx"])
+    n0 = eng.nodes_size()
+    extra = generate_transcripts(spark, 10, seed=99).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id"))
+    )
+    extra.write.mode("overwrite").parquet(src)
+    q = stream_ingest(spark, eng.store, src, ckpt, TRANSCRIPT_SCHEMA, cfg=CFG)
+    q.awaitTermination(120)
+    assert eng.nodes_size() > n0
+    assert eng.search("the", k=5).count() == 5

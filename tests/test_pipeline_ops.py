@@ -147,7 +147,7 @@ def test_textstats_values(spark):
     )
     rows = {r["doc_id"]: r for r in textstats.analyze(df).collect()}
     assert rows[0]["n_tokens"] == 5
-    assert rows[0]["stopword_ratio"] == pytest.approx(0.4, abs=1e-6)  # the, and, the
+    assert rows[0]["stopword_ratio"] == pytest.approx(0.6, abs=1e-6)  # the, and, the
     assert rows[0]["punct_ratio"] == 0.0
     assert rows[0]["is_english"] is True
     assert rows[1]["n_tokens"] == 0
