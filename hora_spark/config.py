@@ -69,5 +69,7 @@ class EngineConfig:
 
 # token pattern pinned once; must stay expressible in BOTH Spark (Java
 # regex) and DuckDB (RE2) with identical semantics — keep it to character
-# classes only.
+# classes only. TOKEN_PATTERN (match runs) and TOKEN_SPLIT_RE (split on
+# non-runs) are the same tokenization expressed both ways.
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
+TOKEN_PATTERN = "[a-z0-9]+"

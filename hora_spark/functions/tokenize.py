@@ -26,7 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hora_spark.config import TOKEN_SPLIT_RE
+from hora_spark.config import TOKEN_PATTERN, TOKEN_SPLIT_RE
 
 _TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
 
@@ -49,12 +49,10 @@ def tokens_col(text: Column) -> Column:
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
-    """Arrow-vectorized tokenizer (pandas str ops; the only per-element work
-    is the final empty-string filter). Must agree exactly with tokens_col."""
-    s = texts.fillna("").str.lower()
-    # split on the pinned regex; filter empties vectorized-ish
-    parts = s.str.split(TOKEN_SPLIT_RE)
-    return parts.map(lambda lst: [t for t in lst if t])
+    """Arrow-vectorized tokenizer: one C-regex findall pass (matching runs
+    == splitting on non-runs, with empties never produced). Must agree
+    exactly with tokens_col."""
+    return texts.fillna("").str.lower().str.findall(TOKEN_PATTERN)
 
 
 # DuckDB fragments (oracle side). {col} is the text column expression.

@@ -6,27 +6,29 @@ freezes added rows into an in-memory graph/codebook under per-row locks
 distributed build is a pure dataflow — posting merge is associative, so the
 lock-protected shared mutation disappears entirely:
 
-  tf (doc_id, term, tf, dl)  [materialized parquet, partitioned by shard]
-  → per wave of shards: groupBy(shard) → applyInPandas encode:
-        sort by (term, doc_id); per term: delta + byte-width blocks,
-        block_max = max idf·tf_sat per block  (ADC-LUT analog,
-        /root/reference/src/index/pq_idx.rs:170-179)
-  → segments rows + per-shard lineage row (seg_id, term range, doc count,
-        bytes, wall time) appended to the snapshot  [checkpoint]
+  ONE Arrow tokenize pass (map-side tf, no explode shuffle)
+  → tf_staged parquet, hive-partitioned by shard   [checkpoint]
+  → stats (term df/idf) + norms derived FROM the staged columns
+  → per wave of shards: groupBy(shard) → vectorized encode:
+        per-term delta gaps with reduceat block maxima — one numpy pass
+        over the whole shard, the per-block loop is 3 cheap ops
+  → segments rows + per-shard lineage row appended to the snapshot
 
-Sharding: shard_id = doc_id // shard_size, n_shards fixed by config — NOT
-by core count — so segment content is bit-identical at any parallelism
-(the determinism property §4 row 10 of SURVEY.md). Doc-range sharding is
-simultaneously the skew treatment: a hot term's posting list is split
-across all shards, which is the salting of
-BASELINE.json:north_star expressed as ranges (and what makes shard-local
-DAAT possible). It is the same shape as IVFPQ's inverted lists with
-local→global id remapping (/root/reference/src/index/pq_idx.rs:357-437).
-
-Resume (north_rule): the build processes shards in waves; each wave commit
-appends segments + lineage. A restarted build reads lineage at the current
-snapshot and skips completed seg_ids — the partial, idempotent upgrade of
-hora's monolithic dump/load (/root/reference/src/index/hnsw_idx.rs:647-719).
+Design notes for 10^12 turns:
+- segments store per-block max TF-SATURATION (idf-free); the query side
+  multiplies by idf. This removes the vocabulary-sized idf join from the
+  build entirely (the ADC-LUT analog /root/reference/src/index/
+  pq_idx.rs:170-179 moves to query setup, where it is query-sized).
+- shard_id = doc_id // shard_size with n_shards fixed by CONFIG, not core
+  count → segment bytes identical at any parallelism (SURVEY §4 row 10).
+  Doc-range sharding is simultaneously the hot-term salting: a hot term's
+  postings split across all shards (the range form of
+  BASELINE.json:north_star's salted repartition-by-term), and the same
+  shape as IVFPQ's inverted lists (/root/reference/src/index/
+  pq_idx.rs:357-437).
+- resume (north_rule): waves commit segments + lineage; a restarted build
+  anti-joins completed seg_ids — the partial, idempotent upgrade of hora's
+  monolithic dump/load (/root/reference/src/index/hnsw_idx.rs:647-719).
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hora_spark.config import EngineConfig
-from hora_spark.functions.codec import encode_block, encode_posting
+from hora_spark.functions.codec import encode_block
 from hora_spark.operators.corpus import Corpus
 from hora_spark.sources.storage import SnapshotStore
 
@@ -55,51 +57,94 @@ LINEAGE_COLS = [
     "doc_count", "bytes", "wall_time_s",
 ]
 
+_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _pack_blocks(values: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 widths: np.ndarray) -> list[bytes]:
+    """Per-block fixed-width packing; the only per-block Python is slicing
+    + tobytes (C calls)."""
+    return [
+        bytes([w]) + values[s:e].astype(_DTYPES[w]).tobytes()
+        for s, e, w in zip(starts, ends, widths)
+    ]
+
+
+def _width_of(maxvals: np.ndarray) -> np.ndarray:
+    return np.select(
+        [maxvals < (1 << 8), maxvals < (1 << 16), maxvals < (1 << 32)],
+        [1, 2, 4], default=8,
+    ).astype(np.int64)
+
 
 def _encode_shard(pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
-    """One shard's tf rows → one segment row per term. Pure numpy."""
+    """One shard's tf rows → one segment row per term. Single numpy pass:
+    gaps/widths/block-maxima via sort + reduceat; per-block loop is 3 ops."""
     t0 = time.perf_counter()
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-    terms = pdf["term"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    dls = pdf["dl"].to_numpy(np.float64)
-    idfs = pdf["idf"].to_numpy(np.float64)
-    # per-posting exact contribution (for block_max)
+    if not len(pdf):
+        return pd.DataFrame({c: [] for c in (
+            "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
+            "block_last", "block_n", "block_max", "encode_us")})
+    order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term"].to_numpy()))
+    terms = pdf["term"].to_numpy()[order]
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)[order]
+    tfs = pdf["tf"].to_numpy(np.int64)[order]
+    dls = pdf["dl"].to_numpy(np.float64)[order]
+    n = len(terms)
+    # idf-free per-posting saturation (block_max stores its per-block max)
     sat = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-    contrib = idfs * sat
 
-    uniq, starts = np.unique(terms, return_index=True)
-    ends = np.append(starts[1:], len(terms))
-    out = {c: [] for c in (
-        "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
-        "block_last", "block_n", "block_max", "encode_us",
-    )}
-    shard_id = int(pdf["shard_id"].iloc[0]) if len(pdf) else -1
-    for term, s, e in zip(uniq, starts, ends):
-        d_blocks, t_blocks, last, ns = encode_posting(doc_ids[s:e], tfs[s:e], block_size)
-        # block_max over the same block slicing
-        bmax = [float(contrib[s + i: s + min(i + block_size, e - s)].max())
-                for i in range(0, e - s, block_size)]
-        out["shard_id"].append(shard_id)
-        out["term"].append(term)
-        out["df_local"].append(int(e - s))
-        out["doc_blocks"].append(list(d_blocks))
-        out["tf_blocks"].append(list(t_blocks))
-        out["block_last"].append(last.tolist())
-        out["block_n"].append(ns.astype(np.int32).tolist())
-        out["block_max"].append(bmax)
-        out["encode_us"].append(0)
-    us = int((time.perf_counter() - t0) * 1e6)
-    if out["encode_us"]:
-        out["encode_us"][0] = us  # one timing row per shard-group call
-    return pd.DataFrame(out)
+    uniq, t_starts = np.unique(terms, return_index=True)
+    t_ends = np.append(t_starts[1:], n)
+    # delta gaps with per-term reset; block bases = previous block's last
+    # doc, so the plain diff IS the first gap of every non-first block
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[t_starts] = doc_ids[t_starts]
+
+    # block boundaries: every block_size-th posting within each term
+    term_of_row = np.repeat(np.arange(len(uniq)), t_ends - t_starts)
+    pos_in_term = np.arange(n) - t_starts[term_of_row]
+    b_starts = np.flatnonzero(pos_in_term % block_size == 0)
+    b_ends = np.append(b_starts[1:], n)
+    b_term = term_of_row[b_starts]
+
+    gap_max = np.maximum.reduceat(gaps, b_starts)
+    tf_max = np.maximum.reduceat(tfs, b_starts)
+    sat_max = np.maximum.reduceat(sat, b_starts)
+    gw = _width_of(gap_max)
+    tw = _width_of(tf_max)
+    doc_blocks = _pack_blocks(gaps, b_starts, b_ends, gw)
+    tf_blocks = _pack_blocks(tfs, b_starts, b_ends, tw)
+    block_last = doc_ids[b_ends - 1]
+    block_n = (b_ends - b_starts).astype(np.int32)
+
+    # assemble one row per term: blocks of term i are the contiguous run
+    # of block indices whose b_term == i
+    tb_starts = np.searchsorted(b_term, np.arange(len(uniq)), side="left")
+    tb_ends = np.searchsorted(b_term, np.arange(len(uniq)), side="right")
+    shard_id = int(pdf["shard_id"].iloc[0])
+    rows = {
+        "shard_id": np.full(len(uniq), shard_id, np.int32),
+        "term": uniq,
+        "df_local": (t_ends - t_starts).astype(np.int64),
+        "doc_blocks": [doc_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
+        "tf_blocks": [tf_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
+        "block_last": [block_last[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
+        "block_n": [block_n[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
+        "block_max": [sat_max[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
+        "encode_us": np.zeros(len(uniq), np.int64),
+    }
+    out = pd.DataFrame(rows)
+    out.loc[0, "encode_us"] = int((time.perf_counter() - t0) * 1e6)
+    return out
 
 
 def _encode_norms(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-shard doc-length sidecar: sorted doc_ids (delta+width packed) +
-    dl array. The query maps posting doc_ids → dl via searchsorted."""
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    """Per-shard doc-length sidecar: sorted doc_ids (delta packed) + dl
+    array. Input rows are (shard_id, doc_id, dl), possibly duplicated per
+    term — dedup here (cheaper than a distinct shuffle upstream)."""
+    pdf = pdf.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
     ids = pdf["doc_id"].to_numpy(np.int64)
     return pd.DataFrame(
         {
@@ -140,16 +185,13 @@ def build_index(
         shard_size = int(meta["shard_size"])
         tf_staged = store.read("tf_staged")
     else:
-        # ---- stage 1: stats + staged tf, partitioned by shard -------------
-        max_id = corpus.docs.agg(F.max("doc_id")).collect()[0][0]
-        shard_size = max(1, (int(max_id) + n_shards) // n_shards)
-        # term_stats is vocab-sized: NOT broadcast by hand — AQE picks
-        # broadcast when it is small, sort-merge when it is not
-        tf_enriched = (
-            corpus.tf.join(corpus.term_stats.select("term", "idf"), "term", "inner")
-            .withColumn("shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
+        # ---- stage 1: ONE tokenize pass → staged tf, sharded on disk -----
+        max_id = int(corpus.tf.agg(F.max("doc_id")).collect()[0][0])
+        shard_size = max(1, (max_id + n_shards) // n_shards)
+        tf_sharded = corpus.tf.withColumn(
+            "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int")
         )
-        d_tf = store.write_table("tf_staged", tf_enriched, partition_by=["shard_id"])
+        d_tf = store.write_table("tf_staged", tf_sharded, partition_by=["shard_id"])
         d_stats = store.write_table("stats", corpus.term_stats)
         store.commit(
             {"tf_staged": [d_tf], "stats": [d_stats]},
@@ -159,6 +201,7 @@ def build_index(
                 "shard_size": shard_size,
                 "n_shards": n_shards,
                 "build_id": build_id,
+                "next_doc_id": max_id + 1,
                 "bm25": {"k1": k1, "b": b},
             },
         )
@@ -168,10 +211,11 @@ def build_index(
 
     # ---- stage 2: norms (once; idempotent overwrite) -----------------------
     if not store.exists("norms"):
-        docs_sharded = corpus.docs.withColumn(
-            "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+        norms = (
+            tf_staged.select("shard_id", "doc_id", "dl")
+            .groupBy("shard_id")
+            .applyInPandas(_encode_norms, NORMS_SCHEMA)
         )
-        norms = docs_sharded.groupBy("shard_id").applyInPandas(_encode_norms, NORMS_SCHEMA)
         d_norms = store.write_table("norms", norms)
         store.commit({"norms": [d_norms]})
 

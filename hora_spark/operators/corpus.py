@@ -5,57 +5,67 @@ ann_index.rs:36-59): rows are buffered (here: a DataFrame of raw text) and
 `build` freezes them into searchable structures. `init_item` there assigns
 the internal id as insertion order (/root/reference/src/index/
 hnsw_idx.rs:441-462); here doc_id is a dense rank over the stable sort key
-(conv_id, turn_idx) — computed WITHOUT a single-partition window:
+(conv_id, turn_idx) — computed WITHOUT a single-partition window and
+WITHOUT Python row serde:
 
-    repartitionByRange(key) → sortWithinPartitions(key)
-    → count rows per partition (one cheap pass)
-    → broadcast cumulative offsets → mapInPandas adds offset + local index
+    repartitionByRange(key) → persist with spark_partition_id + local
+    row_number (JVM window per partition) → per-partition counts → tiny
+    broadcast offsets join → doc_id = offset + local_idx
 
-This is order-deterministic regardless of the sampled range boundaries
-(ranges are disjoint and each partition is sorted, so the global order —
-and therefore every doc_id — is the same at any parallelism), which is the
-"doc_id stable across runs and across parallelism levels" invariant.
+The persist pins the sampled range boundaries so the counts pass and the
+id pass see the SAME partitioning (range boundaries are sampled; ids stay
+correct for ANY boundaries because ranges are disjoint and each partition
+is locally sorted — but the two passes must agree, hence the persist).
+
+Term frequencies are computed MAP-SIDE inside the tokenize UDF (one Arrow
+pass: text → exploded (term, tf, dl) per doc) — no explode shuffle; the
+(doc, term) pair is already unique coming out of the UDF, which is the
+"partial aggregation" the reference gets for free from its per-node loop
+(/root/reference/src/index/bruteforce_idx.rs:49-61).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from hora_spark.config import BM25Config, EngineConfig
+from hora_spark.config import TOKEN_PATTERN, EngineConfig
 from hora_spark.functions.bm25 import idf_col
-from hora_spark.functions.tokenize import tokenize_udf, tokens_col
 
 
-def assign_doc_ids(df: DataFrame, order_cols: list[str], partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame, order_cols: list[str], partitions: int | None = None
+) -> DataFrame:
     """Add a dense, 0-based `doc_id` following the global order of
-    `order_cols`. Scalable two-pass zip-with-index (no global window)."""
-    sc_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    `order_cols`. Scalable two-pass zip-with-index, all JVM-side."""
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(sc_parts, *cols).sortWithinPartitions(*cols)
-
-    # pass 1: rows per physical partition (cheap: count only)
-    counts = ranged.rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]
-    ).collect()
-    offsets = {}
-    acc = 0
-    for i, n in sorted(counts):
-        offsets[i] = acc
-        acc += n
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
-
-    def zip_index(pidx, it):
-        off = b_offsets.value.get(pidx, 0)
-        for j, row in enumerate(it):
-            yield (*row, off + j)
-
-    schema = ranged.schema.add("doc_id", "long", False)
-    return ranged.sparkSession.createDataFrame(
-        ranged.rdd.mapPartitionsWithIndex(zip_index), schema
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lidx",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_n"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", F.col("_off") + F.col("_lidx") - 1)
+        .drop("_pid", "_lidx", "_off")
+    )
+    return out
 
 
 @dataclass
@@ -64,11 +74,46 @@ class Corpus:
     broadcast-sized stats (hora analog: nodes_size/dimension metadata,
     /root/reference/src/core/ann_index.rs:105,118-120)."""
 
-    docs: DataFrame        # doc_id, dl (+ passthrough id cols)
-    tf: DataFrame          # doc_id, term, tf, dl
+    docs: DataFrame        # doc_id, dl
+    tf: DataFrame          # doc_id, dl, term, tf  (unique per (doc, term))
     term_stats: DataFrame  # term, df, idf
     n_docs: int
     avgdl: float
+
+
+TF_SCHEMA = "doc_id long, dl int, term string, tf int"
+
+
+def tf_map_side(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One Arrow pass: (id, text) → (doc_id, dl, term, tf) rows.
+
+    Vectorized: pandas str.findall extracts the pinned token runs, a single
+    explode + groupby per batch computes tfs. Rows with zero tokens vanish
+    here (counted policy vs the reference's NaN panic,
+    /root/reference/src/core/node.rs:158-166)."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_PATTERN)
+            dl = toks.str.len()
+            base = pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "dl": dl.to_numpy(), "terms": toks}
+            )
+            base = base[base["dl"] > 0]
+            if not len(base):
+                continue
+            ex = base.explode("terms", ignore_index=True)
+            out = (
+                ex.groupby(["doc_id", "dl", "terms"], sort=False)
+                .size()
+                .reset_index(name="tf")
+                .rename(columns={"terms": "term"})
+            )
+            yield out[["doc_id", "dl", "term", "tf"]]
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(run, TF_SCHEMA)
 
 
 def prepare(
@@ -77,28 +122,22 @@ def prepare(
     id_col: str | None = "doc_id",
     order_cols: list[str] | None = None,
     cfg: EngineConfig | None = None,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = True,  # kept for API compat; tf is always Arrow
 ) -> Corpus:
     """text table → Corpus. If id_col is None, assigns doc_id by dense rank
-    over order_cols. Rows with NULL/empty text are dropped (counted policy —
-    the non-panicking version of /root/reference/src/core/node.rs:158-166)."""
+    over order_cols. The tf DataFrame is persisted (it feeds several
+    downstream aggregations)."""
     cfg = cfg or EngineConfig()
-    tok: Column = tokenize_udf(F.col(text_col)) if use_pandas_udf else tokens_col(F.col(text_col))
-
     if id_col is None:
         df = assign_doc_ids(df, order_cols or ["conv_id", "turn_idx"])
         id_col = "doc_id"
-    base = df.withColumn("terms", tok).withColumn("dl", F.size("terms"))
-    base = base.filter(F.col("dl") > 0)
 
-    docs = base.select(F.col(id_col).alias("doc_id"), "dl")
-    tf = (
-        base.select(F.col(id_col).alias("doc_id"), "dl", F.explode("terms").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    stats_row = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    tf = tf_map_side(df, text_col, id_col).withColumnRenamed(id_col, "doc_id")
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats_row = tf.agg(
+        F.countDistinct("doc_id").alias("n"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
     ).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
 
@@ -107,4 +146,5 @@ def prepare(
         .agg(F.count(F.lit(1)).alias("df"))  # tf rows are unique per (doc, term)
         .withColumn("idf", idf_col(F.lit(n_docs), F.col("df"), cfg.bm25))
     )
+    docs = tf.select("doc_id", "dl").distinct()
     return Corpus(docs=docs, tf=tf, term_stats=term_stats, n_docs=n_docs, avgdl=avgdl)

@@ -76,8 +76,12 @@ def _shard_search(
     # per-source block maxima still add up to a true upper bound
     postings: dict[str, list[TermPosting]] = {}
     for row in seg_pdf.itertuples(index=False):
+        idf = idf_map[row.term]
+        # stored block_max is idf-FREE saturation max; the idf product is
+        # applied here (query-sized work — the ADC-LUT analog)
         postings.setdefault(row.term, []).append(TermPosting(
-            idf_map[row.term], row.doc_blocks, row.tf_blocks, row.block_last, row.block_max
+            idf, row.doc_blocks, row.tf_blocks, row.block_last,
+            idf * np.asarray(row.block_max, dtype=np.float64),
         ))
     out_q, out_d, out_s = [], [], []
     for qid, terms in enumerate(queries):

@@ -71,10 +71,11 @@ def append_build(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # frozen stats: idf from the build-time stats table; terms unseen at
-    # build time are not searchable until merge/rebuild (hora analog: a
-    # point inserted into a frozen graph can only link to existing nodes)
-    tf = tf.join(store.read("stats").select("term", "idf"), "term", "inner")
+    # frozen stats: the stats table is NOT updated, so terms unseen at
+    # build time have no idf and are not searchable until merge/rebuild
+    # (hora analog: a point inserted into a frozen graph can only link to
+    # existing nodes). Segments store idf-free saturation maxima, so no
+    # stats join is needed here at all.
     tf = tf.withColumn("shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
 
     k1, b = cfg.bm25.k1, cfg.bm25.b
