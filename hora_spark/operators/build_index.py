@@ -51,7 +51,13 @@ SEGMENT_SCHEMA = (
     "block_last array<long>, block_n array<int>, block_max array<double>, "
     "encode_us long"
 )
-NORMS_SCHEMA = "shard_id int, doc_ids binary, dls array<int>"
+# the per-shard doc-length sidecar rides INSIDE the segments table as one
+# reserved-term row per shard (doc ids delta-packed in doc_blocks[0], dls
+# fixed-width packed in tf_blocks[0]). \x00 cannot appear in a real token
+# ([a-z0-9]+), the row sorts first, and queries add it to the term filter —
+# one scan serves postings AND norms, no extra table, no cogroup shuffle.
+NORMS_TERM = "\x00norms"
+NORMS_SCHEMA = "shard_id int, doc_ids binary, dls array<int>"  # legacy (merge path)
 LINEAGE_COLS = [
     "build_id", "seg_id", "term_lo", "term_hi", "n_terms",
     "doc_count", "bytes", "wall_time_s",
@@ -136,6 +142,23 @@ def _encode_shard(pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl
         "encode_us": np.zeros(len(uniq), np.int64),
     }
     out = pd.DataFrame(rows)
+
+    # norms row: unique (doc_id, dl) of this shard, sorted by doc_id
+    nd = pdf.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
+    nids = nd["doc_id"].to_numpy(np.int64)
+    ndls = nd["dl"].to_numpy(np.int64)
+    norms_row = pd.DataFrame({
+        "shard_id": [np.int32(shard_id)],
+        "term": [NORMS_TERM],
+        "df_local": [len(nids)],
+        "doc_blocks": [[encode_block(nids, base=0, delta=True)]],
+        "tf_blocks": [[encode_block(ndls, delta=False)]],
+        "block_last": [[]],
+        "block_n": [[len(nids)]],
+        "block_max": [[]],
+        "encode_us": [0],
+    })
+    out = pd.concat([norms_row, out], ignore_index=True)
     out.loc[0, "encode_us"] = int((time.perf_counter() - t0) * 1e6)
     return out
 
@@ -180,21 +203,30 @@ def build_index(
             int(r["seg_id"]) for r in store.read("lineage").select("seg_id").distinct().collect()
         }
 
+    stage_tf = waves > 1  # single-wave builds skip the tf materialization:
+    # their resume is a clean rebuild anyway (nothing partial to save), so
+    # the big staged write is pure overhead for them
+
     if resume and store.exists("tf_staged"):
         meta = store.meta()
         shard_size = int(meta["shard_size"])
         tf_staged = store.read("tf_staged")
     else:
-        # ---- stage 1: ONE tokenize pass → staged tf, sharded on disk -----
+        # ---- stage 1: ONE tokenize pass → sharded tf (staged on disk for
+        # multi-wave builds; kept as the persisted DataFrame otherwise) ----
         max_id = int(corpus.tf.agg(F.max("doc_id")).collect()[0][0])
         shard_size = max(1, (max_id + n_shards) // n_shards)
         tf_sharded = corpus.tf.withColumn(
             "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int")
         )
-        d_tf = store.write_table("tf_staged", tf_sharded, partition_by=["shard_id"])
-        d_stats = store.write_table("stats", corpus.term_stats)
+        updates = {}
+        if stage_tf:
+            updates["tf_staged"] = [
+                store.write_table("tf_staged", tf_sharded, partition_by=["shard_id"])
+            ]
+        updates["stats"] = [store.write_table("stats", corpus.term_stats)]
         store.commit(
-            {"tf_staged": [d_tf], "stats": [d_stats]},
+            updates,
             meta={
                 "n_docs": corpus.n_docs,
                 "avgdl": corpus.avgdl,
@@ -205,19 +237,9 @@ def build_index(
                 "bm25": {"k1": k1, "b": b},
             },
         )
-        tf_staged = store.read("tf_staged")
+        tf_staged = store.read("tf_staged") if stage_tf else tf_sharded
 
     avgdl = float(store.meta()["avgdl"])
-
-    # ---- stage 2: norms (once; idempotent overwrite) -----------------------
-    if not store.exists("norms"):
-        norms = (
-            tf_staged.select("shard_id", "doc_id", "dl")
-            .groupBy("shard_id")
-            .applyInPandas(_encode_norms, NORMS_SCHEMA)
-        )
-        d_norms = store.write_table("norms", norms)
-        store.commit({"norms": [d_norms]})
 
     # ---- stage 3: segments in waves ----------------------------------------
     all_shards = [s for s in range(n_shards) if s not in done_segs]
@@ -234,8 +256,9 @@ def build_index(
         d_seg = store.stage_dir("segments")
         segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
         wall = time.perf_counter() - t0
-        # lineage from the committed files themselves (exact byte counts)
-        seg_back = spark.read.parquet(d_seg)
+        # lineage from the committed files themselves (exact byte counts);
+        # the inline norms rows are bookkeeping, not index content
+        seg_back = spark.read.parquet(d_seg).filter(F.col("term") != NORMS_TERM)
         lineage = (
             seg_back.groupBy("shard_id")
             .agg(

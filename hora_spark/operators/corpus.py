@@ -92,26 +92,40 @@ def tf_map_side(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     here (counted policy vs the reference's NaN panic,
     /root/reference/src/core/node.rs:158-166)."""
 
+    import itertools
+
+    import numpy as np
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_PATTERN)
-            dl = toks.str.len()
-            base = pd.DataFrame(
-                {"doc_id": pdf[id_col].to_numpy(), "dl": dl.to_numpy(), "terms": toks}
-            )
-            base = base[base["dl"] > 0]
-            if not len(base):
+            dl = toks.str.len().to_numpy(np.int64)
+            ids = pdf[id_col].to_numpy(np.int64)
+            keep = dl > 0
+            if not keep.any():
                 continue
-            ex = base.explode("terms", ignore_index=True)
-            out = (
-                ex.groupby(["doc_id", "dl", "terms"], sort=False)
-                .size()
-                .reset_index(name="tf")
-                .rename(columns={"terms": "term"})
+            tok_lists = toks.to_numpy()[keep]
+            ids, dl = ids[keep], dl[keep]
+            flat = list(itertools.chain.from_iterable(tok_lists))
+            # factorize once (C hashing), then count (doc, term) pairs as
+            # int64 keys — no string groupby
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
+            v = np.int64(len(uniques))
+            key = doc_idx * v + codes
+            uk, counts = np.unique(key, return_counts=True)
+            d_i = (uk // v).astype(np.int64)
+            c_i = (uk % v).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[d_i],
+                    "dl": dl[d_i].astype(np.int32),
+                    "term": np.asarray(uniques, dtype=object)[c_i],
+                    "tf": counts.astype(np.int32),
+                }
             )
-            yield out[["doc_id", "dl", "term", "tf"]]
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(run, TF_SCHEMA)
 

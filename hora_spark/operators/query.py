@@ -6,21 +6,18 @@ Lifecycle (mirrors SURVEY.md §3.2):
   → look up query-term idf from the stats table (predicate-pushed filter,
     small collect — the query-vs-centroid ranking analog,
     /root/reference/src/index/pq_idx.rs:413-421)
-  → scan segments WHERE term IN (query terms): parquet row-group pruning
-    via min/max on the term column (segments are written sorted by term
-    within each shard) — the `search_n_center` probe analog: only matching
-    index data is read
-  → per shard: DAAT + block-max WAND in a grouped pandas UDF → local top-k;
-    the per-shard doc-length sidecar (norms) arrives via COGROUP on
-    shard_id, so no doc-proportional state ever moves through the driver
-  → global top-k: orderBy(score DESC, doc_id ASC) LIMIT k per query
-    (TakeOrderedAndProject / window rank — per-partition heaps merged,
-    exactly hora's heap truncation, /root/reference/src/index/
-    hnsw_idx.rs:434-437)
+  → ONE segment scan WHERE term IN (query terms ∪ {norms row}): parquet
+    row-group pruning via min/max on the term column — the
+    `search_n_center` probe analog: only matching index data is read.
+    The per-shard doc-length sidecar rides in the same scan as a
+    reserved-term row, so no second table, no cogroup, no driver state.
+  → per shard: DAAT + block-max WAND in a grouped pandas UDF → local top-k
+  → global top-k: per-query window rank on (score DESC, doc_id ASC)
+    (the distributed form of hora's heap truncation,
+    /root/reference/src/index/hnsw_idx.rs:434-437)
 
 Queries are BATCHED: one Spark job scores any number of queries; the shard
-UDF loops over queries in numpy, and the global top-k becomes a per-query
-window rank. Single-query latency is the batch of one.
+UDF loops over queries in numpy. Single-query latency is the batch of one.
 """
 
 from __future__ import annotations
@@ -34,6 +31,7 @@ from hora_spark.config import EngineConfig
 from hora_spark.functions.codec import decode_block
 from hora_spark.functions.tokenize import tokenize_py
 from hora_spark.functions.wand import TermPosting, shard_topk
+from hora_spark.operators.build_index import NORMS_TERM
 from hora_spark.sources.storage import SnapshotStore
 
 RESULT_SCHEMA = "query_id int, doc_id long, score double"
@@ -47,7 +45,6 @@ _EMPTY = pd.DataFrame(
 
 def _shard_search(
     seg_pdf: pd.DataFrame,
-    norms_pdf: pd.DataFrame,
     queries: list[list[str]],
     idf_map: dict,
     k: int,
@@ -56,16 +53,18 @@ def _shard_search(
     b: float,
     prune: bool,
 ) -> pd.DataFrame:
-    """One cogrouped shard: segment rows (all query terms present in this
-    shard) + the shard's norms row. Runs WAND once per query."""
+    """One shard group: reserved norms row(s) + this shard's segment rows
+    for all query terms. Runs WAND once per query."""
+    is_norms = seg_pdf["term"] == NORMS_TERM
+    norms_pdf = seg_pdf[is_norms]
+    seg_pdf = seg_pdf[~is_norms]
     if len(seg_pdf) == 0 or len(norms_pdf) == 0:
         return _EMPTY
-    # norms may be several rows after incremental appends (merge-on-read):
-    # concatenate sorted
+    # norms may be several rows after incremental appends (merge-on-read)
     nid_parts, ndl_parts = [], []
     for row in norms_pdf.itertuples(index=False):
-        nid_parts.append(decode_block(bytes(row.doc_ids), base=0, delta=True))
-        ndl_parts.append(np.asarray(row.dls, dtype=np.float64))
+        nid_parts.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
+        ndl_parts.append(decode_block(bytes(row.tf_blocks[0]), delta=False).astype(np.float64))
     norm_ids = np.concatenate(nid_parts)
     norm_dls = np.concatenate(ndl_parts)
     order = np.argsort(norm_ids, kind="mergesort")
@@ -77,8 +76,8 @@ def _shard_search(
     postings: dict[str, list[TermPosting]] = {}
     for row in seg_pdf.itertuples(index=False):
         idf = idf_map[row.term]
-        # stored block_max is idf-FREE saturation max; the idf product is
-        # applied here (query-sized work — the ADC-LUT analog)
+        # stored block_max is idf-FREE saturation max; apply idf here
+        # (query-sized work — the ADC-LUT analog)
         postings.setdefault(row.term, []).append(TermPosting(
             idf, row.doc_blocks, row.tf_blocks, row.block_last,
             idf * np.asarray(row.block_max, dtype=np.float64),
@@ -137,21 +136,14 @@ def search_topk(
 
     segs = (
         store.read("segments", version)
-        .filter(F.col("term").isin(live_terms))
+        .filter(F.col("term").isin(live_terms + [NORMS_TERM]))
         .select("shard_id", "term", "doc_blocks", "tf_blocks", "block_last", "block_max")
     )
-    norms = store.read("norms", version)
 
-    def run(seg_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _shard_search(
-            seg_pdf, norms_pdf, b_queries.value, b_idf.value, k, avgdl, k1, b, prune
-        )
+    def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _shard_search(seg_pdf, b_queries.value, b_idf.value, k, avgdl, k1, b, prune)
 
-    local = (
-        segs.groupBy("shard_id")
-        .cogroup(norms.groupBy("shard_id"))
-        .applyInPandas(run, RESULT_SCHEMA)
-    )
+    local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rn", F.row_number().over(w))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from hora_spark.config import EngineConfig
 from hora_spark.functions.codec import decode_block, encode_block, decode_posting, encode_posting
-from hora_spark.operators.build_index import NORMS_SCHEMA, SEGMENT_SCHEMA, _encode_shard
+from hora_spark.operators.build_index import NORMS_TERM, SEGMENT_SCHEMA, _encode_shard
 from hora_spark.operators.corpus import assign_doc_ids
 from hora_spark.functions.tokenize import tokenize_udf, tokens_col
 from hora_spark.sources.storage import SnapshotStore
@@ -79,17 +79,13 @@ def append_build(
     tf = tf.withColumn("shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
 
     k1, b = cfg.bm25.k1, cfg.bm25.b
+    # _encode_shard emits the reserved norms row per shard inline, so the
+    # delta commit is one table append
     segs = tf.groupBy("shard_id").applyInPandas(
         lambda pdf: _encode_shard(pdf, cfg.index.block_size, k1, b, avgdl), SEGMENT_SCHEMA
     )
     d_seg = store.stage_dir("segments")
     segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
-
-    norms = base.select("doc_id", "dl").withColumn(
-        "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-    ).groupBy("shard_id").applyInPandas(_delta_norms, NORMS_SCHEMA)
-    d_norms = store.stage_dir("norms")
-    norms.write.mode("overwrite").parquet(d_norms)
 
     lineage = spark.createDataFrame(
         [(batch_id, -1, "", "", 0, n_new, 0, 0.0)],
@@ -99,7 +95,7 @@ def append_build(
     d_lin = store.stage_dir("lineage")
     lineage.write.mode("overwrite").parquet(d_lin)
     v = store.commit(
-        {"segments": [d_seg], "norms": [d_norms], "lineage": [d_lin]},
+        {"segments": [d_seg], "lineage": [d_lin]},
         replace=False,
         meta={"n_docs": n_docs_old + n_new, "next_doc_id": base_id + n_new,
               "last_batch_id": batch_id},
@@ -107,35 +103,43 @@ def append_build(
     return {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}
 
 
-def _delta_norms(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
-    ids = pdf["doc_id"].to_numpy(np.int64)
-    return pd.DataFrame({
-        "shard_id": [int(pdf["shard_id"].iloc[0])],
-        "doc_ids": [encode_block(ids, base=0, delta=True)],
-        "dls": [pdf["dl"].to_numpy(np.int32).tolist()],
-    })
-
-
 def _merge_shard(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Compact one shard: all rows per term → one row. block_max is
-    recomputed from per-posting contributions carried in block_max of the
-    sources? No — it must be recomputed exactly, so we re-derive it from
-    the decoded (tf, dl) pairs, which requires dls: we instead carry the
-    max over merged blocks from source block boundaries. To stay exact we
-    recompute from decoded postings and the per-row idf-free block bounds:
-    since both sources were encoded with the same formula, re-encoding
-    needs (idf, dl) — we approximate nothing: sources carry per-block max
-    contribution; after concatenation blocks change, so we recompute
-    block_max as the max of source block maxima overlapping each new
-    block. That stays a TRUE upper bound (possibly loose), preserving
-    exactness of WAND."""
+    """Compact one shard: all rows per term → one row.
+
+    Merged blocks get block_max = max of the SOURCE block maxima whose
+    doc-id intervals overlap the new block. That may be looser than the
+    tight per-block max (recomputing tightly would need per-doc dl here),
+    but it stays a TRUE upper bound, so WAND exactness is preserved;
+    compaction never changes results (asserted in tests)."""
     out = {c: [] for c in (
         "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
         "block_last", "block_n", "block_max", "encode_us",
     )}
     shard_id = int(pdf["shard_id"].iloc[0])
     t0 = time.perf_counter()
+
+    # reserved norms rows: concatenate + re-sort, re-emit as one row
+    is_norms = pdf["term"] == NORMS_TERM
+    norms_rows = pdf[is_norms]
+    pdf = pdf[~is_norms]
+    if len(norms_rows):
+        ids_all, dls_all = [], []
+        for row in norms_rows.itertuples(index=False):
+            ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
+            dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
+        ids = np.concatenate(ids_all)
+        dls = np.concatenate(dls_all)
+        order = np.argsort(ids, kind="mergesort")
+        out["shard_id"].append(shard_id)
+        out["term"].append(NORMS_TERM)
+        out["df_local"].append(int(len(ids)))
+        out["doc_blocks"].append([encode_block(ids[order], base=0, delta=True)])
+        out["tf_blocks"].append([encode_block(dls[order], delta=False)])
+        out["block_last"].append([])
+        out["block_n"].append([int(len(ids))])
+        out["block_max"].append([])
+        out["encode_us"].append(0)
+
     for term, g in pdf.groupby("term", sort=True):
         ids_parts, tf_parts, bounds = [], [], []
         for row in g.itertuples(index=False):
@@ -184,8 +188,8 @@ def _merge_shard(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 
 
 def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig | None = None) -> int:
-    """Compaction: one row per (shard, term); replaces the segments table.
-    Also merges the norms sidecar rows per shard."""
+    """Compaction: one row per (shard, term), norms rows included;
+    replaces the segments table."""
     cfg = cfg or EngineConfig()
     segs = store.read("segments")
     merged = segs.groupBy("shard_id").applyInPandas(
@@ -193,29 +197,7 @@ def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig 
     )
     d_seg = store.stage_dir("segments")
     merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
-
-    norms = store.read("norms")
-
-    def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_all, dls_all = [], []
-        for row in pdf.itertuples(index=False):
-            ids = decode_block(bytes(row.doc_ids), base=0, delta=True)
-            ids_all.append(ids)
-            dls_all.append(np.asarray(row.dls, np.int32))
-        ids = np.concatenate(ids_all)
-        dls = np.concatenate(dls_all)
-        order = np.argsort(ids, kind="mergesort")
-        return pd.DataFrame({
-            "shard_id": [int(pdf["shard_id"].iloc[0])],
-            "doc_ids": [encode_block(ids[order], base=0, delta=True)],
-            "dls": [dls[order].tolist()],
-        })
-
-    d_norms = store.stage_dir("norms")
-    norms.groupBy("shard_id").applyInPandas(merge_norms, NORMS_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(d_norms)
-    return store.commit({"segments": [d_seg], "norms": [d_norms]}, replace=True)
+    return store.commit({"segments": [d_seg]}, replace=True)
 
 
 def stream_ingest(
