@@ -67,7 +67,7 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     if sf_dir not in _ENGINE_CACHE:
         path = tempfile.mkdtemp(prefix="hora_idx_")
         eng = Engine(spark, path, EngineConfig(index=IndexConfig(block_size=32, n_buckets=8)))
-        eng.build(_docs(spark, sf_dir), id_col="doc_id", use_pandas_udf=True)
+        eng.build(_docs(spark, sf_dir), id_col="doc_id")
         _ENGINE_CACHE[sf_dir] = eng
     return _ENGINE_CACHE[sf_dir]
 

@@ -50,7 +50,10 @@ class IndexConfig:
     """
 
     block_size: int = 128           # docs per compressed posting block
-    n_buckets: int = 32             # term-hash partitions of the segment table
+    n_buckets: int = 64             # doc-range shards of the segment table
+                                    # (fixed by config, NOT core count —
+                                    # segment bytes must not depend on
+                                    # parallelism)
     hot_term_df: int = 200_000      # df above which a term's postings are salted
     salt_rows: int = 8              # max segment rows a hot term is split into
     min_token_len: int = 1

@@ -41,39 +41,19 @@ class Engine:
         waves: int = 1,
         resume: bool = False,
         build_id: str = "build-0",
-        use_pandas_udf: bool = True,
         fail_after_wave: int | None = None,
     ) -> dict:
         """Freeze `df` into the searchable segment table.
 
         id_col=None assigns doc_id by dense rank over order_cols (default
         (conv_id, turn_idx) — the transcripts invariant)."""
-        if resume and self.store.exists("tf_staged"):
-            corpus = None  # staged tf is reused; corpus recompute skipped
-        else:
-            corpus = _corpus.prepare(
-                df,
-                text_col=text_col,
-                id_col=id_col,
-                order_cols=order_cols or ["conv_id", "turn_idx"],
-                cfg=self.cfg,
-                use_pandas_udf=use_pandas_udf,
-            )
-        if corpus is None:
-            # rebuild a minimal Corpus view from the snapshot for resume
-            tf = self.store.read("tf_staged")
-            meta = self.store.meta()
-            corpus = _corpus.Corpus(
-                docs=tf.select("doc_id", "dl").distinct(),
-                tf=tf.select("doc_id", "dl", "term", "tf"),
-                term_stats=self.store.read("stats"),
-                n_docs=int(meta["n_docs"]),
-                avgdl=float(meta["avgdl"]),
-            )
         return _build.build_index(
             self.spark,
-            corpus,
+            df,
             self.store,
+            text_col=text_col,
+            id_col=id_col,
+            order_cols=order_cols,
             cfg=self.cfg,
             build_id=build_id,
             waves=waves,

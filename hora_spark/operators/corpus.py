@@ -38,34 +38,53 @@ from hora_spark.functions.bm25 import idf_col
 
 
 def assign_doc_ids(
-    df: DataFrame, order_cols: list[str], partitions: int | None = None
-) -> DataFrame:
+    df: DataFrame,
+    order_cols: list[str],
+    partitions: int | None = None,
+    staging_dir: str | None = None,
+    with_count: bool = False,
+):
     """Add a dense, 0-based `doc_id` following the global order of
-    `order_cols`. Scalable two-pass zip-with-index, all JVM-side."""
+    `order_cols`. Scalable two-pass zip-with-index, all JVM-side, with
+    exactly ONE shuffle of the payload:
+
+      repartitionByRange(keys) → sortWithinPartitions(keys)
+      → monotonically_increasing_id: upper bits = partition id, lower bits
+        = sequential position within the (sorted) partition — so pid+local
+        index come for free, no window, no second shuffle
+      → pin the evaluation (staged parquet, or persist as fallback)
+      → per-pid counts (cheap agg) → broadcast offsets → doc_id
+
+    Pinning matters for correctness: range boundaries are sampled, so the
+    counts pass and the id pass must observe the SAME materialization.
+    Returns df, or (df, total_count) when with_count=True."""
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
+    mid = F.monotonically_increasing_id()
     ranged = (
         df.repartitionByRange(n_parts, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lidx",
-            F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.shiftright(mid, 33).cast("int"))
+        .withColumn("_lidx", mid.bitwiseAND(F.lit((1 << 33) - 1)))
     )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    if staging_dir:
+        ranged.write.mode("overwrite").parquet(staging_dir)
+        base = spark.read.parquet(staging_dir)
+    else:
+        base = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = base.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((r["_pid"], acc))
         acc += r["_n"]
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     out = (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", F.col("_off") + F.col("_lidx") - 1)
+        base.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", F.col("_off") + F.col("_lidx"))
         .drop("_pid", "_lidx", "_off")
     )
-    return out
+    return (out, acc) if with_count else out
 
 
 @dataclass

@@ -76,11 +76,15 @@ def _shard_search(
     postings: dict[str, list[TermPosting]] = {}
     for row in seg_pdf.itertuples(index=False):
         idf = idf_map[row.term]
-        # stored block_max is idf-FREE saturation max; apply idf here
-        # (query-sized work — the ADC-LUT analog)
+        # stored bounds are avgdl-free (per-block max tf, min dl); the
+        # block upper bound idf·sat(tf_max, dl_min) dominates every doc's
+        # idf·sat(tf, dl) in the block (sat rises with tf, falls with dl)
+        # — derived here, query-sized work (the ADC-LUT analog)
+        tf_max = np.asarray(row.block_tf_max, dtype=np.float64)
+        dl_min = np.asarray(row.block_dl_min, dtype=np.float64)
+        ub = idf * tf_max / (tf_max + k1 * (1.0 - b + b * dl_min / avgdl))
         postings.setdefault(row.term, []).append(TermPosting(
-            idf, row.doc_blocks, row.tf_blocks, row.block_last,
-            idf * np.asarray(row.block_max, dtype=np.float64),
+            idf, row.doc_blocks, row.tf_blocks, row.block_last, ub,
         ))
     out_q, out_d, out_s = [], [], []
     for qid, terms in enumerate(queries):
@@ -137,7 +141,8 @@ def search_topk(
     segs = (
         store.read("segments", version)
         .filter(F.col("term").isin(live_terms + [NORMS_TERM]))
-        .select("shard_id", "term", "doc_blocks", "tf_blocks", "block_last", "block_max")
+        .select("shard_id", "term", "doc_blocks", "tf_blocks", "block_last",
+                "block_tf_max", "block_dl_min")
     )
 
     def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:

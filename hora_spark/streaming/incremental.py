@@ -82,7 +82,7 @@ def append_build(
     # _encode_shard emits the reserved norms row per shard inline, so the
     # delta commit is one table append
     segs = tf.groupBy("shard_id").applyInPandas(
-        lambda pdf: _encode_shard(pdf, cfg.index.block_size, k1, b, avgdl), SEGMENT_SCHEMA
+        lambda pdf: _encode_shard(pdf, cfg.index.block_size), SEGMENT_SCHEMA
     )
     d_seg = store.stage_dir("segments")
     segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
@@ -104,87 +104,42 @@ def append_build(
 
 
 def _merge_shard(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Compact one shard: all rows per term → one row.
-
-    Merged blocks get block_max = max of the SOURCE block maxima whose
-    doc-id intervals overlap the new block. That may be looser than the
-    tight per-block max (recomputing tightly would need per-doc dl here),
-    but it stays a TRUE upper bound, so WAND exactness is preserved;
-    compaction never changes results (asserted in tests)."""
-    out = {c: [] for c in (
-        "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
-        "block_last", "block_n", "block_max", "encode_us",
-    )}
-    shard_id = int(pdf["shard_id"].iloc[0])
-    t0 = time.perf_counter()
-
-    # reserved norms rows: concatenate + re-sort, re-emit as one row
+    """Compact one shard: decode every source row (postings + the reserved
+    norms rows), reassemble the shard's (doc_id, dl, term, tf) table, and
+    re-encode with the SAME builder — so merged segments are byte-identical
+    to what a fresh build over the union would produce, with tight block
+    bounds (no looseness to reason about)."""
     is_norms = pdf["term"] == NORMS_TERM
     norms_rows = pdf[is_norms]
-    pdf = pdf[~is_norms]
-    if len(norms_rows):
-        ids_all, dls_all = [], []
-        for row in norms_rows.itertuples(index=False):
-            ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
-            dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
-        ids = np.concatenate(ids_all)
-        dls = np.concatenate(dls_all)
-        order = np.argsort(ids, kind="mergesort")
-        out["shard_id"].append(shard_id)
-        out["term"].append(NORMS_TERM)
-        out["df_local"].append(int(len(ids)))
-        out["doc_blocks"].append([encode_block(ids[order], base=0, delta=True)])
-        out["tf_blocks"].append([encode_block(dls[order], delta=False)])
-        out["block_last"].append([])
-        out["block_n"].append([int(len(ids))])
-        out["block_max"].append([])
-        out["encode_us"].append(0)
+    seg_rows = pdf[~is_norms]
+    if not len(norms_rows):
+        return _encode_shard(pdf.iloc[0:0], block_size)
+    ids_all, dls_all = [], []
+    for row in norms_rows.itertuples(index=False):
+        ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
+        dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
+    nids = np.concatenate(ids_all)
+    ndls = np.concatenate(dls_all)
+    order = np.argsort(nids, kind="mergesort")
+    nids, ndls = nids[order], ndls[order]
 
-    for term, g in pdf.groupby("term", sort=True):
-        ids_parts, tf_parts, bounds = [], [], []
-        for row in g.itertuples(index=False):
-            ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
-            ids_parts.append(ids)
-            tf_parts.append(tfs)
-            # per-source block intervals with their max contribution
-            last = np.asarray(row.block_last, np.int64)
-            start = np.empty_like(last)
-            if len(last):
-                start[0] = 0
-                start[1:] = last[:-1] + 1
-            bounds.append((start, last, np.asarray(row.block_max, np.float64)))
-        all_ids = np.concatenate(ids_parts)
-        all_tfs = np.concatenate(tf_parts)
-        order = np.argsort(all_ids, kind="mergesort")
-        all_ids, all_tfs = all_ids[order], all_tfs[order]
-        db, tb, last, ns = encode_posting(all_ids, all_tfs, block_size)
-        # new block_max: max over source intervals overlapping the block
-        new_bmax = []
-        prev = 0
-        for j in range(len(last)):
-            lo = prev
-            hi = int(last[j])
-            m = 0.0
-            for s_start, s_last, s_bmax in bounds:
-                if len(s_last) == 0:
-                    continue
-                ov = (s_last >= lo) & (s_start <= hi)
-                if ov.any():
-                    m = max(m, float(s_bmax[ov].max()))
-            new_bmax.append(m)
-            prev = hi + 1
-        out["shard_id"].append(shard_id)
-        out["term"].append(term)
-        out["df_local"].append(int(len(all_ids)))
-        out["doc_blocks"].append(list(db))
-        out["tf_blocks"].append(list(tb))
-        out["block_last"].append(last.tolist())
-        out["block_n"].append(ns.astype(np.int32).tolist())
-        out["block_max"].append(new_bmax)
-        out["encode_us"].append(0)
-    if out["encode_us"]:
-        out["encode_us"][0] = int((time.perf_counter() - t0) * 1e6)
-    return pd.DataFrame(out)
+    terms_out, ids_out, tfs_out = [], [], []
+    for row in seg_rows.itertuples(index=False):
+        ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
+        terms_out.append(np.full(len(ids), row.term, dtype=object))
+        ids_out.append(ids)
+        tfs_out.append(tfs)
+    if not ids_out:
+        return _encode_shard(pdf.iloc[0:0], block_size)
+    doc_id = np.concatenate(ids_out)
+    tf_pdf = pd.DataFrame({
+        "shard_id": np.full(len(doc_id), int(pdf["shard_id"].iloc[0]), np.int32),
+        "doc_id": doc_id,
+        "dl": ndls[np.searchsorted(nids, doc_id)],
+        "term": np.concatenate(terms_out),
+        "tf": np.concatenate(tfs_out),
+    })
+    return _encode_shard(tf_pdf, block_size)
 
 
 def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig | None = None) -> int:
