@@ -50,7 +50,14 @@ def _scaling_run(cores: int, n_convs: int) -> None:
     from hora_spark.session import get_spark
 
     spark = get_spark(f"bench_scaling_{cores}", cores=cores)
-    df = generate_transcripts(spark, n_convs, seed=42, partitions=cores * 2).cache()
+    # input lives on disk (parquet), matching the real deployment shape —
+    # an in-memory .cache() both distorts the measurement and serializes
+    # on local-mode MemoryStore locks at high core counts
+    src = tempfile.mkdtemp(prefix=f"hora_bench_src_{cores}_")
+    generate_transcripts(spark, n_convs, seed=42, partitions=cores * 2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    df = spark.read.parquet(src)
     n_turns = df.count()
     path = tempfile.mkdtemp(prefix=f"hora_bench_{cores}_")
     try:
@@ -71,6 +78,7 @@ def _scaling_run(cores: int, n_convs: int) -> None:
         }))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
         spark.stop()
 
 

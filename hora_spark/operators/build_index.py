@@ -41,6 +41,7 @@ seg_ids — the partial, idempotent upgrade of hora's monolithic dump/load
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -50,122 +51,23 @@ from pyspark.sql import functions as F
 
 from hora_spark.config import EngineConfig
 from hora_spark.functions.bm25 import idf_col
-from hora_spark.functions.codec import encode_block
-from hora_spark.operators.corpus import assign_doc_ids, tf_map_side
+from hora_spark.operators.corpus import assign_doc_ids
+from hora_spark.operators.segments import (
+    NORMS_TERM,
+    SEGMENT_SCHEMA,
+    encode_shard_rows,
+    map_partial_segments,
+    merge_shard_rows,
+)
 from hora_spark.sources.storage import SnapshotStore
 
-SEGMENT_SCHEMA = (
-    "shard_id int, term string, df_local long, "
-    "doc_blocks array<binary>, tf_blocks array<binary>, "
-    "block_last array<long>, block_n array<int>, "
-    "block_tf_max array<long>, block_dl_min array<int>, "
-    "encode_us long"
-)
-# the per-shard doc-length sidecar rides INSIDE the segments table as one
-# reserved-term row per shard (doc ids delta-packed in doc_blocks[0], dls
-# fixed-width packed in tf_blocks[0], Σdl in block_tf_max[0]). \x00 cannot
-# appear in a real token ([a-z0-9]+), and queries add it to the term filter
-# — one scan serves postings AND norms; corpus stats (N, avgdl) aggregate
-# from these rows with the blob columns pruned.
-NORMS_TERM = "\x00norms"
 LINEAGE_COLS = [
     "build_id", "seg_id", "term_lo", "term_hi", "n_terms",
     "doc_count", "bytes", "wall_time_s",
 ]
 
-_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
-
-
-def _pack_blocks(values: np.ndarray, starts: np.ndarray, ends: np.ndarray,
-                 widths: np.ndarray) -> list[bytes]:
-    """Per-block fixed-width packing; the only per-block Python is slicing
-    + tobytes (C calls)."""
-    return [
-        bytes([w]) + values[s:e].astype(_DTYPES[w]).tobytes()
-        for s, e, w in zip(starts, ends, widths)
-    ]
-
-
-def _width_of(maxvals: np.ndarray) -> np.ndarray:
-    return np.select(
-        [maxvals < (1 << 8), maxvals < (1 << 16), maxvals < (1 << 32)],
-        [1, 2, 4], default=8,
-    ).astype(np.int64)
-
-
-def _encode_shard(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """One shard's tf rows → one segment row per term (+ the norms row).
-    Single numpy pass: gaps/widths/block bounds via lexsort + reduceat;
-    the per-block loop is slice+tobytes."""
-    t0 = time.perf_counter()
-    cols = ("shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
-            "block_last", "block_n", "block_tf_max", "block_dl_min", "encode_us")
-    if not len(pdf):
-        return pd.DataFrame({c: [] for c in cols})
-    order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term"].to_numpy()))
-    terms = pdf["term"].to_numpy()[order]
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)[order]
-    tfs = pdf["tf"].to_numpy(np.int64)[order]
-    dls = pdf["dl"].to_numpy(np.int64)[order]
-    n = len(terms)
-
-    uniq, t_starts = np.unique(terms, return_index=True)
-    t_ends = np.append(t_starts[1:], n)
-    # delta gaps with per-term reset; block bases = previous block's last
-    # doc, so the plain diff IS the first gap of every non-first block
-    gaps = doc_ids.copy()
-    gaps[1:] -= doc_ids[:-1]
-    gaps[t_starts] = doc_ids[t_starts]
-
-    term_of_row = np.repeat(np.arange(len(uniq)), t_ends - t_starts)
-    pos_in_term = np.arange(n) - t_starts[term_of_row]
-    b_starts = np.flatnonzero(pos_in_term % block_size == 0)
-    b_ends = np.append(b_starts[1:], n)
-    b_term = term_of_row[b_starts]
-
-    gap_max = np.maximum.reduceat(gaps, b_starts)
-    tf_max = np.maximum.reduceat(tfs, b_starts)
-    dl_min = np.minimum.reduceat(dls, b_starts)
-    doc_blocks = _pack_blocks(gaps, b_starts, b_ends, _width_of(gap_max))
-    tf_blocks = _pack_blocks(tfs, b_starts, b_ends, _width_of(tf_max))
-    block_last = doc_ids[b_ends - 1]
-    block_n = (b_ends - b_starts).astype(np.int32)
-
-    tb_starts = np.searchsorted(b_term, np.arange(len(uniq)), side="left")
-    tb_ends = np.searchsorted(b_term, np.arange(len(uniq)), side="right")
-    shard_id = int(pdf["shard_id"].iloc[0])
-    out = pd.DataFrame({
-        "shard_id": np.full(len(uniq), shard_id, np.int32),
-        "term": uniq,
-        "df_local": (t_ends - t_starts).astype(np.int64),
-        "doc_blocks": [doc_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
-        "tf_blocks": [tf_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
-        "block_last": [block_last[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
-        "block_n": [block_n[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
-        "block_tf_max": [tf_max[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
-        "block_dl_min": [dl_min[s:e].astype(np.int32).tolist() for s, e in zip(tb_starts, tb_ends)],
-        "encode_us": np.zeros(len(uniq), np.int64),
-    })
-
-    # norms row: unique (doc_id, dl) of this shard, sorted by doc_id
-    nd = pdf.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
-    nids = nd["doc_id"].to_numpy(np.int64)
-    ndls = nd["dl"].to_numpy(np.int64)
-    norms_row = pd.DataFrame({
-        "shard_id": [np.int32(shard_id)],
-        "term": [NORMS_TERM],
-        "df_local": [len(nids)],
-        "doc_blocks": [[encode_block(nids, base=0, delta=True)]],
-        "tf_blocks": [[encode_block(ndls, delta=False)]],
-        "block_last": [[]],
-        "block_n": [[len(nids)]],
-        "block_tf_max": [[int(ndls.sum())]],   # Σdl → avgdl aggregates free
-        "block_dl_min": [[]],
-        "encode_us": [0],
-    })
-    out = pd.concat([norms_row, out], ignore_index=True)
-    out.loc[0, "encode_us"] = int((time.perf_counter() - t0) * 1e6)
-    return out
+# back-compat alias (incremental/append path encodes from tuple rows)
+_encode_shard = encode_shard_rows
 
 
 def _commit_stats_and_lineage(
@@ -251,8 +153,16 @@ def build_index(
     fail_after_wave: test hook — raise after committing that many waves,
     simulating a mid-build crash (resume fixture, FIXTURES.md §5).
     """
+    import os
+
     cfg = cfg or EngineConfig()
     n_shards = cfg.index.n_buckets
+    dbg = os.environ.get("HORA_BUILD_DEBUG") == "1"
+    t_start = time.perf_counter()
+
+    def _dbg(label: str) -> None:
+        if dbg:
+            print(f"[build] {label}: {time.perf_counter() - t_start:.1f}s", flush=True)
 
     done_segs: set[int] = set()
     if resume and store.exists("lineage"):
@@ -260,11 +170,11 @@ def build_index(
             int(r["seg_id"]) for r in store.read("lineage").select("seg_id").distinct().collect()
         }
 
-    if resume and store.exists("tf_staged"):
+    if resume and store.exists("partials"):
         meta = store.meta()
         shard_size = int(meta["shard_size"])
         max_id = int(meta["max_doc_id"])
-        tf_sharded = store.read("tf_staged")
+        partials = store.read("partials")
         staged = True
     else:
         # ---- ids + shard size (no tokenize needed) ------------------------
@@ -278,18 +188,19 @@ def build_index(
         else:
             max_id = int(df.agg(F.max(id_col)).collect()[0][0])
         shard_size = max(1, (max_id + n_shards) // n_shards)
+        _dbg("ids assigned")
 
-        # ---- ONE tokenize pass → sharded tf -------------------------------
-        tf = tf_map_side(df, text_col, id_col).withColumnRenamed(id_col, "doc_id")
-        tf_sharded = tf.withColumn(
-            "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-        )
+        # ---- ONE tokenize pass → map-side PARTIAL segment rows ------------
+        # (postings pre-packed per (shard, term) per batch: the shuffle and
+        # every Arrow boundary carries ~|vocab|·|batches| blob rows instead
+        # of |postings| string rows)
+        partials = map_partial_segments(df, text_col, id_col, shard_size)
         staged = waves > 1
         if staged:
-            d_tf = store.write_table("tf_staged", tf_sharded, partition_by=["shard_id"])
-            store.commit({"tf_staged": [d_tf]},
+            d_tf = store.write_table("partials", partials, partition_by=["shard_id"])
+            store.commit({"partials": [d_tf]},
                          meta={"shard_size": shard_size, "max_doc_id": max_id})
-            tf_sharded = store.read("tf_staged")
+            partials = store.read("partials")
 
     # ---- encode waves -------------------------------------------------------
     all_shards = [s for s in range(n_shards) if s not in done_segs]
@@ -301,15 +212,16 @@ def build_index(
     for w0 in range(0, len(all_shards), wave_size):
         wave_shards = all_shards[w0: w0 + wave_size]
         t0 = time.perf_counter()
-        part = tf_sharded
+        part = partials
         if len(wave_shards) < n_shards:
             part = part.filter(F.col("shard_id").isin(wave_shards))
         segs = part.groupBy("shard_id").applyInPandas(
-            lambda pdf: _encode_shard(pdf, block_size), SEGMENT_SCHEMA
+            lambda pdf: merge_shard_rows(pdf, block_size), SEGMENT_SCHEMA
         )
         d_seg = store.stage_dir("segments")
         segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
         wall_by_dir[d_seg] = time.perf_counter() - t0
+        _dbg(f"wave {waves_done} encoded+written")
         seg_dirs.append(d_seg)
         if staged:  # per-wave checkpoint only matters when tf is reusable
             lineage_stub = spark.createDataFrame(
@@ -339,6 +251,7 @@ def build_index(
             "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
         },
     )
+    _dbg("stats+lineage committed")
     return {
         "build_id": build_id,
         "version": store.current_version(),

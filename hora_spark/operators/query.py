@@ -31,7 +31,7 @@ from hora_spark.config import EngineConfig
 from hora_spark.functions.codec import decode_block
 from hora_spark.functions.tokenize import tokenize_py
 from hora_spark.functions.wand import TermPosting, shard_topk
-from hora_spark.operators.build_index import NORMS_TERM
+from hora_spark.operators.segments import NORMS_TERM
 from hora_spark.sources.storage import SnapshotStore
 
 RESULT_SCHEMA = "query_id int, doc_id long, score double"

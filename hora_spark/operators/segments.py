@@ -1,0 +1,261 @@
+"""Segment-row codec: the shared vocabulary of the build, merge, append,
+and query paths.
+
+A segment row is one (shard, term) posting list in compressed block form
+(SEGMENT_SCHEMA), plus one reserved NORMS_TERM row per shard carrying the
+doc-length sidecar. Three producers emit rows of this shape:
+
+- `map_partial_segments`: the MAP-SIDE of the build — inside the Arrow
+  tokenize pass, each input batch packs its postings per (shard, term)
+  into single-block partial rows. This is what crosses the build's one
+  shuffle: ~|vocab|·|partitions| blob rows instead of |postings| string
+  rows (measured 25× fewer boundary crossings; the Python-object cost of
+  55M-row Arrow conversions dominated the whole build before this).
+  The reference analog is the per-thread partial work rayon merges
+  (/root/reference/src/core/knn.rs:250-256) — here merge is associative
+  so partials compose exactly.
+- `merge_shard_rows`: the REDUCE side and the compaction path — decode
+  any set of partial/full rows of one shard, rebuild canonical rows via
+  `encode_shard_rows`. Output depends only on the logical (doc, term, tf,
+  dl) set, never on partitioning (the determinism invariant).
+- `encode_shard_rows`: tuples → canonical rows; one numpy pass
+  (factorize + lexsort + reduceat), per-block work is slice+tobytes.
+
+Block bounds are avgdl-FREE (per-block max tf, min dl): the query-time
+bound idf·sat(tf_max, dl_min) dominates idf·sat(tf, dl) for every doc in
+the block, so WAND pruning stays exact while the build needs no global
+statistic (the LUT-at-query-time move of /root/reference/src/index/
+pq_idx.rs:165-194).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hora_spark.config import TOKEN_PATTERN
+from hora_spark.functions.codec import decode_block, decode_posting, encode_block
+
+SEGMENT_SCHEMA = (
+    "shard_id int, term string, df_local long, "
+    "doc_blocks array<binary>, tf_blocks array<binary>, "
+    "block_last array<long>, block_n array<int>, "
+    "block_tf_max array<long>, block_dl_min array<int>, "
+    "encode_us long"
+)
+# reserved doc-length sidecar row per shard: doc ids delta-packed in
+# doc_blocks[0], dls fixed-width packed in tf_blocks[0], Σdl in
+# block_tf_max[0]. \x00 can never appear in a token ([a-z0-9]+).
+NORMS_TERM = "\x00norms"
+
+_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _pack_blocks(values: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 widths: np.ndarray) -> list[bytes]:
+    return [
+        bytes([w]) + values[s:e].astype(_DTYPES[w]).tobytes()
+        for s, e, w in zip(starts, ends, widths)
+    ]
+
+
+def _width_of(maxvals: np.ndarray) -> np.ndarray:
+    return np.select(
+        [maxvals < (1 << 8), maxvals < (1 << 16), maxvals < (1 << 32)],
+        [1, 2, 4], default=8,
+    ).astype(np.int64)
+
+
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame({c: [] for c in (
+        "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
+        "block_last", "block_n", "block_tf_max", "block_dl_min", "encode_us")})
+
+
+def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """(shard_id, doc_id, dl, term, tf) tuples of ONE shard → canonical
+    segment rows + the norms row."""
+    t0 = time.perf_counter()
+    if not len(pdf):
+        return _empty()
+    codes, uniq = pd.factorize(pdf["term"].to_numpy(), sort=True)
+    order = np.lexsort((pdf["doc_id"].to_numpy(), codes))
+    codes = codes[order]
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)[order]
+    tfs = pdf["tf"].to_numpy(np.int64)[order]
+    dls = pdf["dl"].to_numpy(np.int64)[order]
+    n = len(codes)
+    uniq = np.asarray(uniq, dtype=object)
+
+    t_starts = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1))
+    t_ends = np.append(t_starts[1:], n)
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[t_starts] = doc_ids[t_starts]
+
+    term_of_row = np.repeat(np.arange(len(uniq)), t_ends - t_starts)
+    pos_in_term = np.arange(n) - t_starts[term_of_row]
+    b_starts = np.flatnonzero(pos_in_term % block_size == 0)
+    b_ends = np.append(b_starts[1:], n)
+    b_term = term_of_row[b_starts]
+
+    gap_max = np.maximum.reduceat(gaps, b_starts)
+    tf_max = np.maximum.reduceat(tfs, b_starts)
+    dl_min = np.minimum.reduceat(dls, b_starts)
+    doc_blocks = _pack_blocks(gaps, b_starts, b_ends, _width_of(gap_max))
+    tf_blocks = _pack_blocks(tfs, b_starts, b_ends, _width_of(tf_max))
+    block_last = doc_ids[b_ends - 1]
+    block_n = (b_ends - b_starts).astype(np.int32)
+
+    tb_starts = np.searchsorted(b_term, np.arange(len(uniq)), side="left")
+    tb_ends = np.searchsorted(b_term, np.arange(len(uniq)), side="right")
+    shard_id = int(pdf["shard_id"].iloc[0])
+    out = pd.DataFrame({
+        "shard_id": np.full(len(uniq), shard_id, np.int32),
+        "term": uniq,
+        "df_local": (t_ends - t_starts).astype(np.int64),
+        "doc_blocks": [doc_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
+        "tf_blocks": [tf_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
+        "block_last": [block_last[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
+        "block_n": [block_n[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
+        "block_tf_max": [tf_max[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
+        "block_dl_min": [dl_min[s:e].astype(np.int32).tolist() for s, e in zip(tb_starts, tb_ends)],
+        "encode_us": np.zeros(len(uniq), np.int64),
+    })
+
+    nd_ids, nd_first = np.unique(doc_ids, return_index=True)
+    nd_dls = dls[nd_first]
+    norms_row = pd.DataFrame({
+        "shard_id": [np.int32(shard_id)],
+        "term": [NORMS_TERM],
+        "df_local": [len(nd_ids)],
+        "doc_blocks": [[encode_block(nd_ids, base=0, delta=True)]],
+        "tf_blocks": [[encode_block(nd_dls, delta=False)]],
+        "block_last": [[]],
+        "block_n": [[len(nd_ids)]],
+        "block_tf_max": [[int(nd_dls.sum())]],
+        "block_dl_min": [[]],
+        "encode_us": [0],
+    })
+    out = pd.concat([norms_row, out], ignore_index=True)
+    out.loc[0, "encode_us"] = int((time.perf_counter() - t0) * 1e6)
+    return out
+
+
+def merge_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Any set of segment rows of ONE shard (partials from the map side,
+    or base+delta rows during compaction) → canonical rows, by decoding
+    everything and re-encoding. Deterministic in the logical content."""
+    is_norms = pdf["term"] == NORMS_TERM
+    norms_rows = pdf[is_norms]
+    seg_rows = pdf[~is_norms]
+    if not len(norms_rows) or not len(seg_rows):
+        return _empty()
+    ids_all, dls_all = [], []
+    for row in norms_rows.itertuples(index=False):
+        ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
+        dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
+    nids = np.concatenate(ids_all)
+    ndls = np.concatenate(dls_all)
+    order = np.argsort(nids, kind="mergesort")
+    nids, ndls = nids[order], ndls[order]
+
+    terms_out, ids_out, tfs_out = [], [], []
+    for row in seg_rows.itertuples(index=False):
+        ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
+        terms_out.append(np.full(len(ids), row.term, dtype=object))
+        ids_out.append(ids)
+        tfs_out.append(tfs)
+    doc_id = np.concatenate(ids_out)
+    tf_pdf = pd.DataFrame({
+        "shard_id": np.full(len(doc_id), int(pdf["shard_id"].iloc[0]), np.int32),
+        "doc_id": doc_id,
+        "dl": ndls[np.searchsorted(nids, doc_id)],
+        "term": np.concatenate(terms_out),
+        "tf": np.concatenate(tfs_out),
+    })
+    return encode_shard_rows(tf_pdf, block_size)
+
+
+def map_partial_segments(
+    df: DataFrame, text_col: str, id_col: str, shard_size: int
+) -> DataFrame:
+    """The build's map side: one Arrow pass over (id, text) emitting
+    PARTIAL segment rows — per (shard, term) of each batch, a single-block
+    posting (sorted by doc_id), plus one partial norms row per shard.
+    All heavy lifting is numpy; term strings materialize only once per
+    distinct term per batch."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_PATTERN)
+            dl = toks.str.len().to_numpy(np.int64)
+            ids = pdf[id_col].to_numpy(np.int64)
+            keep = dl > 0
+            if not keep.any():
+                continue
+            tok_lists = toks.to_numpy()[keep]
+            ids, dl = ids[keep], dl[keep]
+            flat = list(itertools.chain.from_iterable(tok_lists))
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+            uniques = np.asarray(uniques, dtype=object)
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
+            shard_of_doc = (ids // shard_size).astype(np.int64)
+            # tf per (shard, doc, term): docs are unique within the batch,
+            # so the (doc, code) pair key is enough
+            v = np.int64(len(uniques))
+            key = doc_idx * v + codes
+            uk, counts = np.unique(key, return_counts=True)
+            d_i = (uk // v).astype(np.int64)
+            c_i = (uk % v).astype(np.int64)
+            p_doc = ids[d_i]
+            p_dl = dl[d_i]
+            p_shard = shard_of_doc[d_i]
+            # order by (shard, code, doc) → contiguous posting runs
+            order = np.lexsort((p_doc, c_i, p_shard))
+            p_doc, p_dl, p_shard, c_i, counts = (
+                p_doc[order], p_dl[order], p_shard[order], c_i[order], counts[order]
+            )
+            grp_key = p_shard * v + c_i
+            g_starts = np.flatnonzero(np.diff(grp_key, prepend=grp_key[0] - 1))
+            g_ends = np.append(g_starts[1:], len(grp_key))
+            rows = {c: [] for c in (
+                "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
+                "block_last", "block_n", "block_tf_max", "block_dl_min", "encode_us")}
+            for s, e in zip(g_starts, g_ends):
+                rows["shard_id"].append(int(p_shard[s]))
+                rows["term"].append(uniques[c_i[s]])
+                rows["df_local"].append(int(e - s))
+                rows["doc_blocks"].append([encode_block(p_doc[s:e], base=0, delta=True)])
+                rows["tf_blocks"].append([encode_block(counts[s:e], delta=False)])
+                rows["block_last"].append([int(p_doc[e - 1])])
+                rows["block_n"].append([int(e - s)])
+                rows["block_tf_max"].append([int(counts[s:e].max())])
+                rows["block_dl_min"].append([int(p_dl[s:e].min())])
+                rows["encode_us"].append(0)
+            # partial norms rows per shard in this batch
+            s_order = np.argsort(ids, kind="mergesort")  # doc order
+            s_ids, s_dl, s_sh = ids[s_order], dl[s_order], shard_of_doc[s_order]
+            n_starts = np.flatnonzero(np.diff(s_sh, prepend=s_sh[0] - 1))
+            n_ends = np.append(n_starts[1:], len(s_sh))
+            for s, e in zip(n_starts, n_ends):
+                rows["shard_id"].append(int(s_sh[s]))
+                rows["term"].append(NORMS_TERM)
+                rows["df_local"].append(int(e - s))
+                rows["doc_blocks"].append([encode_block(s_ids[s:e], base=0, delta=True)])
+                rows["tf_blocks"].append([encode_block(s_dl[s:e], delta=False)])
+                rows["block_last"].append([])
+                rows["block_n"].append([int(e - s)])
+                rows["block_tf_max"].append([int(s_dl[s:e].sum())])
+                rows["block_dl_min"].append([])
+                rows["encode_us"].append(0)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, SEGMENT_SCHEMA)

@@ -26,16 +26,11 @@ shared-memory graph mutation. The log-structured distributed equivalent:
 
 from __future__ import annotations
 
-import time
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hora_spark.config import EngineConfig
-from hora_spark.functions.codec import decode_block, encode_block, decode_posting, encode_posting
-from hora_spark.operators.build_index import NORMS_TERM, SEGMENT_SCHEMA, _encode_shard
+from hora_spark.operators.segments import NORMS_TERM, SEGMENT_SCHEMA, encode_shard_rows, merge_shard_rows
 from hora_spark.operators.corpus import assign_doc_ids
 from hora_spark.functions.tokenize import tokenize_udf, tokens_col
 from hora_spark.sources.storage import SnapshotStore
@@ -82,7 +77,7 @@ def append_build(
     # _encode_shard emits the reserved norms row per shard inline, so the
     # delta commit is one table append
     segs = tf.groupBy("shard_id").applyInPandas(
-        lambda pdf: _encode_shard(pdf, cfg.index.block_size), SEGMENT_SCHEMA
+        lambda pdf: encode_shard_rows(pdf, cfg.index.block_size), SEGMENT_SCHEMA
     )
     d_seg = store.stage_dir("segments")
     segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
@@ -103,52 +98,13 @@ def append_build(
     return {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}
 
 
-def _merge_shard(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Compact one shard: decode every source row (postings + the reserved
-    norms rows), reassemble the shard's (doc_id, dl, term, tf) table, and
-    re-encode with the SAME builder — so merged segments are byte-identical
-    to what a fresh build over the union would produce, with tight block
-    bounds (no looseness to reason about)."""
-    is_norms = pdf["term"] == NORMS_TERM
-    norms_rows = pdf[is_norms]
-    seg_rows = pdf[~is_norms]
-    if not len(norms_rows):
-        return _encode_shard(pdf.iloc[0:0], block_size)
-    ids_all, dls_all = [], []
-    for row in norms_rows.itertuples(index=False):
-        ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
-        dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
-    nids = np.concatenate(ids_all)
-    ndls = np.concatenate(dls_all)
-    order = np.argsort(nids, kind="mergesort")
-    nids, ndls = nids[order], ndls[order]
-
-    terms_out, ids_out, tfs_out = [], [], []
-    for row in seg_rows.itertuples(index=False):
-        ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
-        terms_out.append(np.full(len(ids), row.term, dtype=object))
-        ids_out.append(ids)
-        tfs_out.append(tfs)
-    if not ids_out:
-        return _encode_shard(pdf.iloc[0:0], block_size)
-    doc_id = np.concatenate(ids_out)
-    tf_pdf = pd.DataFrame({
-        "shard_id": np.full(len(doc_id), int(pdf["shard_id"].iloc[0]), np.int32),
-        "doc_id": doc_id,
-        "dl": ndls[np.searchsorted(nids, doc_id)],
-        "term": np.concatenate(terms_out),
-        "tf": np.concatenate(tfs_out),
-    })
-    return _encode_shard(tf_pdf, block_size)
-
-
 def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig | None = None) -> int:
     """Compaction: one row per (shard, term), norms rows included;
     replaces the segments table."""
     cfg = cfg or EngineConfig()
     segs = store.read("segments")
     merged = segs.groupBy("shard_id").applyInPandas(
-        lambda pdf: _merge_shard(pdf, cfg.index.block_size), SEGMENT_SCHEMA
+        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size), SEGMENT_SCHEMA
     )
     d_seg = store.stage_dir("segments")
     merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
