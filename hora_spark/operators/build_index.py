@@ -44,8 +44,6 @@ from __future__ import annotations
 import os
 import time
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -153,7 +151,7 @@ def build_index(
     fail_after_wave: test hook — raise after committing that many waves,
     simulating a mid-build crash (resume fixture, FIXTURES.md §5).
     """
-    import os
+
 
     cfg = cfg or EngineConfig()
     n_shards = cfg.index.n_buckets
@@ -215,8 +213,12 @@ def build_index(
         part = partials
         if len(wave_shards) < n_shards:
             part = part.filter(F.col("shard_id").isin(wave_shards))
-        segs = part.groupBy("shard_id").applyInPandas(
-            lambda pdf: merge_shard_rows(pdf, block_size), SEGMENT_SCHEMA
+        # pin the merge exchange to one partition per shard (AQE bucketing
+        # lumps several shards into one task and creates stragglers)
+        segs = (
+            part.repartition(len(wave_shards), "shard_id")
+            .groupBy("shard_id")
+            .applyInPandas(lambda pdf: merge_shard_rows(pdf, block_size), SEGMENT_SCHEMA)
         )
         d_seg = store.stage_dir("segments")
         segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)

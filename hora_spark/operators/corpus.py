@@ -5,23 +5,18 @@ ann_index.rs:36-59): rows are buffered (here: a DataFrame of raw text) and
 `build` freezes them into searchable structures. `init_item` there assigns
 the internal id as insertion order (/root/reference/src/index/
 hnsw_idx.rs:441-462); here doc_id is a dense rank over the stable sort key
-(conv_id, turn_idx) — computed WITHOUT a single-partition window and
-WITHOUT Python row serde:
+(conv_id, turn_idx) — see assign_doc_ids (one payload shuffle, no window,
+no Python row serde).
 
-    repartitionByRange(key) → persist with spark_partition_id + local
-    row_number (JVM window per partition) → per-partition counts → tiny
-    broadcast offsets join → doc_id = offset + local_idx
-
-The persist pins the sampled range boundaries so the counts pass and the
-id pass see the SAME partitioning (range boundaries are sampled; ids stay
-correct for ANY boundaries because ranges are disjoint and each partition
-is locally sorted — but the two passes must agree, hence the persist).
-
-Term frequencies are computed MAP-SIDE inside the tokenize UDF (one Arrow
-pass: text → exploded (term, tf, dl) per doc) — no explode shuffle; the
-(doc, term) pair is already unique coming out of the UDF, which is the
-"partial aggregation" the reference gets for free from its per-node loop
+Term frequencies are computed MAP-SIDE inside the tokenize pass (one Arrow
+pass: text → (doc, term, tf, dl) rows) — no explode shuffle; the (doc,
+term) pair is already unique coming out of the UDF, which is the partial
+aggregation the reference gets for free from its per-node loop
 (/root/reference/src/index/bruteforce_idx.rs:49-61).
+
+`prepare` is the ORACLE/test-scale path (it materializes the tf table);
+the production build path (operators/build_index.py) never materializes
+tf — it packs partial postings inside the same Arrow pass.
 """
 
 from __future__ import annotations
@@ -29,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 

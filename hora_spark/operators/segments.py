@@ -165,18 +165,18 @@ def merge_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     order = np.argsort(nids, kind="mergesort")
     nids, ndls = nids[order], ndls[order]
 
-    terms_out, ids_out, tfs_out = [], [], []
+    ids_out, tfs_out, lens = [], [], []
     for row in seg_rows.itertuples(index=False):
         ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
-        terms_out.append(np.full(len(ids), row.term, dtype=object))
         ids_out.append(ids)
         tfs_out.append(tfs)
+        lens.append(len(ids))
     doc_id = np.concatenate(ids_out)
     tf_pdf = pd.DataFrame({
         "shard_id": np.full(len(doc_id), int(pdf["shard_id"].iloc[0]), np.int32),
         "doc_id": doc_id,
         "dl": ndls[np.searchsorted(nids, doc_id)],
-        "term": np.concatenate(terms_out),
+        "term": np.repeat(seg_rows["term"].to_numpy(), lens),
         "tf": np.concatenate(tfs_out),
     })
     return encode_shard_rows(tf_pdf, block_size)
@@ -226,36 +226,56 @@ def map_partial_segments(
             grp_key = p_shard * v + c_i
             g_starts = np.flatnonzero(np.diff(grp_key, prepend=grp_key[0] - 1))
             g_ends = np.append(g_starts[1:], len(grp_key))
-            rows = {c: [] for c in (
-                "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
-                "block_last", "block_n", "block_tf_max", "block_dl_min", "encode_us")}
-            for s, e in zip(g_starts, g_ends):
-                rows["shard_id"].append(int(p_shard[s]))
-                rows["term"].append(uniques[c_i[s]])
-                rows["df_local"].append(int(e - s))
-                rows["doc_blocks"].append([encode_block(p_doc[s:e], base=0, delta=True)])
-                rows["tf_blocks"].append([encode_block(counts[s:e], delta=False)])
-                rows["block_last"].append([int(p_doc[e - 1])])
-                rows["block_n"].append([int(e - s)])
-                rows["block_tf_max"].append([int(counts[s:e].max())])
-                rows["block_dl_min"].append([int(p_dl[s:e].min())])
-                rows["encode_us"].append(0)
+            # vectorized single-block packing across ALL groups at once
+            gaps = p_doc.copy()
+            gaps[1:] -= p_doc[:-1]
+            gaps[g_starts] = p_doc[g_starts]
+            gap_max = np.maximum.reduceat(gaps, g_starts)
+            tf_maxg = np.maximum.reduceat(counts, g_starts)
+            dl_ming = np.minimum.reduceat(p_dl, g_starts)
+            dblocks = _pack_blocks(gaps, g_starts, g_ends, _width_of(gap_max))
+            tblocks = _pack_blocks(counts, g_starts, g_ends, _width_of(tf_maxg))
+            lasts = p_doc[g_ends - 1]
+            ns = (g_ends - g_starts).astype(np.int64)
+            rows = {
+                "shard_id": p_shard[g_starts].astype(np.int32),
+                "term": uniques[c_i[g_starts]],
+                "df_local": ns,
+                "doc_blocks": [[b] for b in dblocks],
+                "tf_blocks": [[b] for b in tblocks],
+                "block_last": [[int(x)] for x in lasts],
+                "block_n": [[int(x)] for x in ns],
+                "block_tf_max": [[int(x)] for x in tf_maxg],
+                "block_dl_min": [[int(x)] for x in dl_ming],
+                "encode_us": np.zeros(len(ns), np.int64),
+            }
+            out = pd.DataFrame(rows)
             # partial norms rows per shard in this batch
             s_order = np.argsort(ids, kind="mergesort")  # doc order
             s_ids, s_dl, s_sh = ids[s_order], dl[s_order], shard_of_doc[s_order]
             n_starts = np.flatnonzero(np.diff(s_sh, prepend=s_sh[0] - 1))
             n_ends = np.append(n_starts[1:], len(s_sh))
-            for s, e in zip(n_starts, n_ends):
-                rows["shard_id"].append(int(s_sh[s]))
-                rows["term"].append(NORMS_TERM)
-                rows["df_local"].append(int(e - s))
-                rows["doc_blocks"].append([encode_block(s_ids[s:e], base=0, delta=True)])
-                rows["tf_blocks"].append([encode_block(s_dl[s:e], delta=False)])
-                rows["block_last"].append([])
-                rows["block_n"].append([int(e - s)])
-                rows["block_tf_max"].append([int(s_dl[s:e].sum())])
-                rows["block_dl_min"].append([])
-                rows["encode_us"].append(0)
-            yield pd.DataFrame(rows)
+            n_gaps = s_ids.copy()
+            n_gaps[1:] -= s_ids[:-1]
+            n_gaps[n_starts] = s_ids[n_starts]
+            n_gapmax = np.maximum.reduceat(n_gaps, n_starts)
+            n_dlmax = np.maximum.reduceat(s_dl, n_starts)
+            n_dblocks = _pack_blocks(n_gaps, n_starts, n_ends, _width_of(n_gapmax))
+            n_tblocks = _pack_blocks(s_dl, n_starts, n_ends, _width_of(n_dlmax))
+            n_ns = (n_ends - n_starts).astype(np.int64)
+            sums = np.add.reduceat(s_dl, n_starts)
+            norms = pd.DataFrame({
+                "shard_id": s_sh[n_starts].astype(np.int32),
+                "term": NORMS_TERM,
+                "df_local": n_ns,
+                "doc_blocks": [[b] for b in n_dblocks],
+                "tf_blocks": [[b] for b in n_tblocks],
+                "block_last": [[]] * len(n_ns),
+                "block_n": [[int(x)] for x in n_ns],
+                "block_tf_max": [[int(x)] for x in sums],
+                "block_dl_min": [[]] * len(n_ns),
+                "encode_us": np.zeros(len(n_ns), np.int64),
+            })
+            yield pd.concat([out, norms], ignore_index=True)
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, SEGMENT_SCHEMA)

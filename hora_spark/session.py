@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # sandbox-scale inputs are ~1GB; the 128MB default would coalesce
+        # them into a handful of scan tasks and cap the Python-UDF stages'
+        # parallelism far below the core count. At cluster scale inputs
+        # have enough files/splits that this only adds harmless fan-out.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("HORA_SPARK_DRIVER_MEM", "48g"))
     )

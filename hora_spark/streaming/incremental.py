@@ -30,9 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hora_spark.config import EngineConfig
-from hora_spark.operators.segments import NORMS_TERM, SEGMENT_SCHEMA, encode_shard_rows, merge_shard_rows
+from hora_spark.operators.segments import SEGMENT_SCHEMA, encode_shard_rows, merge_shard_rows
 from hora_spark.operators.corpus import assign_doc_ids
-from hora_spark.functions.tokenize import tokenize_udf, tokens_col
+from hora_spark.functions.tokenize import tokenize_udf
 from hora_spark.sources.storage import SnapshotStore
 
 
