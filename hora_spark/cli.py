@@ -1,0 +1,105 @@
+"""spark-submit entry point (north_star: "runs via spark-submit --py-files
+on multi-executor clusters").
+
+Package and submit:
+
+    cd repo && zip -r hora_spark.zip hora_spark
+    spark-submit --py-files hora_spark.zip -m hora_spark.cli ...   # or:
+    spark-submit --py-files hora_spark.zip cli.py build \
+        --input s3://bucket/transcripts --index s3://bucket/idx --waves 8
+    spark-submit ... cli.py search --index s3://bucket/idx -q "error bash" -k 10
+    spark-submit ... cli.py datagen --out /tmp/tx --convs 100000
+
+The master/deploy-mode/executors come from spark-submit; get_spark only
+forces local[] when no master was provided (HORA_SPARK_MASTER overrides).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hora_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build/resume the index over a transcripts table")
+    b.add_argument("--input", required=True, help="parquet path or table of transcripts")
+    b.add_argument("--index", required=True, help="index root (snapshot store)")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--id-col", default=None, help="existing id column; omit to assign")
+    b.add_argument("--order-cols", default="conv_id,turn_idx")
+    b.add_argument("--waves", type=int, default=1)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--build-id", default="build-0")
+
+    s = sub.add_parser("search", help="top-k BM25 search")
+    s.add_argument("--index", required=True)
+    s.add_argument("-q", "--query", action="append", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--no-prune", action="store_true")
+
+    a = sub.add_parser("append", help="incrementally index new rows")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--batch-id", default="delta-cli")
+
+    c = sub.add_parser("compact", help="merge segment deltas (rebuild analog)")
+    c.add_argument("--index", required=True)
+
+    g = sub.add_parser("datagen", help="deterministic synthetic transcripts")
+    g.add_argument("--out", required=True)
+    g.add_argument("--convs", type=int, default=10000)
+    g.add_argument("--seed", type=int, default=42)
+
+    i = sub.add_parser("info", help="lineage / metrics table")
+    i.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    from hora_spark.engine import Engine
+    from hora_spark.session import get_spark
+
+    spark = get_spark(f"hora_spark_{args.cmd}")
+
+    if args.cmd == "build":
+        eng = Engine(spark, args.index)
+        out = eng.build(
+            spark.read.parquet(args.input),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            order_cols=args.order_cols.split(","),
+            waves=args.waves,
+            resume=args.resume,
+            build_id=args.build_id,
+        )
+        print(json.dumps(out))
+    elif args.cmd == "search":
+        eng = Engine(spark, args.index)
+        res = eng.searches(args.query, k=args.k, prune=not args.no_prune)
+        for r in res.collect():
+            print(json.dumps({"query": args.query[r["query_id"]],
+                              "doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.cmd == "append":
+        from hora_spark.streaming.incremental import append_build
+        eng = Engine(spark, args.index)
+        out = append_build(spark, eng.store, spark.read.parquet(args.input),
+                           batch_id=args.batch_id)
+        print(json.dumps(out))
+    elif args.cmd == "compact":
+        from hora_spark.streaming.incremental import merge_segments
+        eng = Engine(spark, args.index)
+        print(json.dumps({"version": merge_segments(spark, eng.store)}))
+    elif args.cmd == "datagen":
+        from hora_spark.datagen import write_transcripts
+        write_transcripts(spark, args.out, args.convs, seed=args.seed)
+        print(json.dumps({"out": args.out, "convs": args.convs}))
+    elif args.cmd == "info":
+        Engine(spark, args.index).idx_info().show(100, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

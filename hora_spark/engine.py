@@ -30,6 +30,7 @@ class Engine:
         self.spark = spark
         self.cfg = cfg or EngineConfig()
         self.store = SnapshotStore(spark, path)
+        self._idf_caches: dict[int, dict] = {}
 
     # ------------------------------------------------------------ build ---
     def build(
@@ -68,9 +69,13 @@ class Engine:
 
     def searches(self, queries: list[str], k: int | None = None, prune: bool = True,
                  version: int | None = None) -> DataFrame:
+        # idf cache keyed by snapshot version: stats are frozen per
+        # snapshot, so repeat query terms skip the lookup job
+        v = self.store.current_version() if version is None else version
+        cache = self._idf_caches.setdefault(v, {})
         return _query.search_topk(
             self.spark, self.store, queries, k=k or self.cfg.k_default,
-            cfg=self.cfg, prune=prune, version=version,
+            cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
         )
 
     # ------------------------------------------------------------ state ---

@@ -165,7 +165,9 @@ def build_index(
     done_segs: set[int] = set()
     if resume and store.exists("lineage"):
         done_segs = {
-            int(r["seg_id"]) for r in store.read("lineage").select("seg_id").distinct().collect()
+            int(r["seg_id"])
+            for r in store.read("lineage").select("seg_id").distinct().collect()
+            if int(r["seg_id"]) >= 0  # negative ids are append-batch stubs
         }
 
     if resume and store.exists("partials"):

@@ -114,11 +114,21 @@ def search_topk(
     cfg: EngineConfig | None = None,
     prune: bool = True,
     version: int | None = None,
+    idf_cache: dict | None = None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
-    rows per query, ordered (query_id, score DESC, doc_id ASC)."""
+    rows per query, ordered (query_id, score DESC, doc_id ASC).
+
+    idf_cache: optional {term: idf | None} dict scoped to ONE snapshot
+    version (the Engine keys it by version) — repeat terms skip the stats
+    lookup job entirely. None marks a term known to be absent."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
+    if "avgdl" not in meta:
+        raise FileNotFoundError(
+            f"no built index at {store.root!r}: run build first "
+            "(the analog of searching an un-built hora index)"
+        )
     avgdl = float(meta["avgdl"])
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
@@ -129,9 +139,15 @@ def search_topk(
 
     # idf lookup: pushdown filter on the stats table (term-sorted parquet);
     # result is query-sized (≤ |distinct query terms| rows) → tiny collect
-    stats = store.read("stats", version).filter(F.col("term").isin(all_terms))
-    idf_map = {r["term"]: float(r["idf"]) for r in stats.select("term", "idf").collect()}
-    live_terms = sorted(t for t in all_terms if t in idf_map)
+    cache = idf_cache if idf_cache is not None else {}
+    missing = [t for t in all_terms if t not in cache]
+    if missing:
+        stats = store.read("stats", version).filter(F.col("term").isin(missing))
+        found = {r["term"]: float(r["idf"]) for r in stats.select("term", "idf").collect()}
+        for t in missing:
+            cache[t] = found.get(t)
+    idf_map = {t: cache[t] for t in all_terms if cache[t] is not None}
+    live_terms = sorted(idf_map)
     if not live_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 

@@ -1,0 +1,84 @@
+"""Dense-vector metric kernels (1:1 mirror of hora's metric unit tests —
+manhattan==2 at /root/reference/src/core/node.rs:177-186, dot==-14 sign pin
+at src/core/calc.rs:42-51 / metrics.rs:55; our pin is larger-is-closer) and
+the CLI entry point."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hora_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def tiny_vecs(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0], 0),
+        (1, [1.0, 2.0, 3.0], 0),
+        (2, [-1.0, -2.0, -3.0], 1),
+        (3, [3.0, 0.0, 4.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_dot_metric_pinned(spark, tiny_vecs):
+    """dot([1,2,3],[1,2,3]) = 14 — the reference asserts −14 because its
+    convention is smaller-is-closer (metrics.rs:55); ours is DESC order."""
+    q = tiny_vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.bruteforce_knn(tiny_vecs, q, k=4, metric="dot").collect()
+    sims = {r["vec_id"]: r["sim"] for r in res}
+    assert sims[0] == pytest.approx(14.0, abs=1e-6)
+    assert sims[1] == pytest.approx(14.0, abs=1e-6)
+    assert sims[2] == pytest.approx(-14.0, abs=1e-6)
+    assert sims[3] == pytest.approx(15.0, abs=1e-6)  # 3+0+12
+    # ranking: 15 > 14 == 14 (tie broken by vec_id asc) > -14
+    assert [r["vec_id"] for r in res] == [3, 0, 1, 2]
+
+
+def test_euclidean_metric(spark, tiny_vecs):
+    """negated SQUARED distance (the reference's euclidean is also squared,
+    /root/reference/src/core/metrics.rs:66-71)."""
+    q = tiny_vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.bruteforce_knn(tiny_vecs, q, k=4, metric="euclidean").collect()
+    sims = {r["vec_id"]: r["sim"] for r in res}
+    assert sims[0] == 0.0
+    assert sims[2] == pytest.approx(-(4 + 16 + 36), abs=1e-6)
+    assert sims[3] == pytest.approx(-(4 + 4 + 1), abs=1e-6)
+
+
+def test_cosine_identical_is_one(spark, tiny_vecs):
+    q = tiny_vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.bruteforce_knn(tiny_vecs, q, k=4, metric="cosine").collect()
+    sims = {r["vec_id"]: r["sim"] for r in res}
+    assert sims[0] == pytest.approx(1.0, abs=1e-6)
+    assert sims[2] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_cli_roundtrip(spark, tmp_path):
+    """datagen → build → search → info through the CLI code path."""
+    from hora_spark import cli
+    out = str(tmp_path / "tx")
+    idx = str(tmp_path / "idx")
+    assert cli.main(["datagen", "--out", out, "--convs", "40"]) == 0
+    assert cli.main(["build", "--input", out, "--index", idx]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5"]) == 0
+    assert cli.main(["info", "--index", idx]) == 0
+
+
+def test_idf_cache_identical_results(spark, tmp_path):
+    from hora_spark.datagen import generate_transcripts
+    from hora_spark.engine import Engine
+    df = generate_transcripts(spark, 30, seed=4)
+    eng = Engine(spark, str(tmp_path / "c"))
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    a = [(r["doc_id"], r["score"]) for r in eng.search("the of and", k=10).collect()]
+    # second call hits the idf cache — results must be identical
+    b = [(r["doc_id"], r["score"]) for r in eng.search("the of and", k=10).collect()]
+    assert a == b
+    assert len(eng._idf_caches) == 1
+    # absent terms cached as None, still absent on the cached path
+    assert eng.search("zzzqqqxx", k=5).count() == 0
+    assert eng.search("zzzqqqxx", k=5).count() == 0
