@@ -272,6 +272,47 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_supplier_revenue(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("suppkey"))
+        .limit(15)
+    )
+
+
+def _q_nation_order_stats(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+def _q_part_price_rank(spark, sf_dir):
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("partkey"),
+                F.col("p_retailprice").alias("price"), "rnk")
+    )
+
+
 def _q_events_sessions(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -338,6 +379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "supplier_revenue": _q_supplier_revenue,
+        "nation_order_stats": _q_nation_order_stats,
+        "part_price_rank": _q_part_price_rank,
         # multimodal plumbing (synthetic, deterministic) → rows-only
         "multimodal_features": _q_multimodal_features,
     }
@@ -548,6 +592,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, ROUND(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2""",
+        "supplier_revenue": """
+            SELECT s_suppkey AS suppkey, n_name AS nation,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY s_suppkey, n_name
+            ORDER BY revenue DESC, suppkey ASC LIMIT 15""",
+        "nation_order_stats": """
+            SELECT r_name AS region, n_name AS nation,
+                   count(*) AS n_orders, ROUND(avg(o_totalprice), 4) AS avg_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        "part_price_rank": """
+            SELECT p_brand AS brand, p_partkey AS partkey,
+                   p_retailprice AS price, rnk
+            FROM (SELECT p_brand, p_partkey, p_retailprice,
+                         row_number() OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+                  FROM part)
+            WHERE rnk <= 3""",
         "events_sessions": """
             WITH g AS (SELECT user_id, event_id, ts,
                               epoch_ms(ts) - lag(epoch_ms(ts)) OVER
