@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("HORA_BENCH_CONVS", "48000"))  # ≈625k turns
+N_CONVS = int(os.environ.get("HORA_BENCH_CONVS", "96000"))  # ≈1.25M turns
 QUERY_SET = [
     "join hash row", "scan window spark", "dup", "dup join",
     "filter merge sort batch stream", "the fast key", "column vector",
@@ -41,22 +41,17 @@ QUERY_SET = [
 ]
 
 
-def _scaling_run(cores: int, n_convs: int) -> None:
-    """Subprocess entry: build the full index over generated transcripts at
-    local[cores]; print JSON {turns, wall_s, throughput}."""
+def _scaling_run(cores: int, src: str) -> None:
+    """Subprocess entry: build the full index over the SHARED on-disk
+    transcripts parquet at local[cores]; print JSON {turns, wall_s, ...}.
+    Input on disk matches the real deployment shape (an in-memory .cache()
+    both distorts the measurement and serializes on local-mode MemoryStore
+    locks at high core counts)."""
     os.environ["HORA_SPARK_MASTER"] = f"local[{cores}]"
-    from hora_spark.datagen import generate_transcripts
     from hora_spark.engine import Engine
     from hora_spark.session import get_spark
 
     spark = get_spark(f"bench_scaling_{cores}", cores=cores)
-    # input lives on disk (parquet), matching the real deployment shape —
-    # an in-memory .cache() both distorts the measurement and serializes
-    # on local-mode MemoryStore locks at high core counts
-    src = tempfile.mkdtemp(prefix=f"hora_bench_src_{cores}_")
-    generate_transcripts(spark, n_convs, seed=42, partitions=cores * 2).write.mode(
-        "overwrite"
-    ).parquet(src)
     df = spark.read.parquet(src)
     n_turns = df.count()
     path = tempfile.mkdtemp(prefix=f"hora_bench_{cores}_")
@@ -78,14 +73,13 @@ def _scaling_run(cores: int, n_convs: int) -> None:
         }))
     finally:
         shutil.rmtree(path, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
         spark.stop()
 
 
-def _run_scaling(cores: int, n_convs: int) -> dict:
+def _run_scaling(cores: int, src: str) -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cores), str(n_convs)],
-        capture_output=True, text=True, timeout=1800,
+        [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cores), src],
+        capture_output=True, text=True, timeout=1200,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -142,9 +136,24 @@ def main() -> None:
     if os.environ.get("HORA_BENCH_SKIP_SCALING") != "1":
         small_cores = int(os.environ.get("HORA_BENCH_SMALL", "2"))
         big_cores = int(os.environ.get("HORA_BENCH_BIG", str(small_cores * 4)))
+        repeats = int(os.environ.get("HORA_BENCH_REPEATS", "1"))
         t0 = time.perf_counter()
-        lo = _run_scaling(small_cores, N_CONVS)
-        hi = _run_scaling(big_cores, N_CONVS)
+        # input generated ONCE at full parallelism, shared by both levels
+        from hora_spark.datagen import generate_transcripts
+        src = tempfile.mkdtemp(prefix="hora_bench_src_")
+        generate_transcripts(spark, N_CONVS, seed=42, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(src)
+        # interleaved best-of-N: the sandbox VM shows ±30% run-to-run noise
+        # from host contention; min wall per level measures the engine, not
+        # the neighbors
+        los, his = [], []
+        for _ in range(repeats):
+            los.append(_run_scaling(small_cores, src))
+            his.append(_run_scaling(big_cores, src))
+        shutil.rmtree(src, ignore_errors=True)
+        lo = min(los, key=lambda r: r["wall_s"])
+        hi = min(his, key=lambda r: r["wall_s"])
         ratio = big_cores / small_cores
         eff = (lo["wall_s"] / hi["wall_s"]) / ratio
         scaling = {
@@ -204,6 +213,20 @@ which is the quantity the rule targets. For reference, the bandwidth-bound
 8→32 point measures ~1.45× speedup — consistent with the probe's ceiling,
 i.e., the residual is hardware, not an engine serial section.
 
+## Projection to the 10^12-turn design scale
+
+Measured build cost ≈ {1e6 * small_cores * lo['wall_s'] / lo['turns']:.0f} µs·core/turn
+at {small_cores} cores (pre-saturation). A 10^12-turn corpus is therefore
+~{small_cores * lo['wall_s'] / lo['turns'] * 1e12 / 3600:.2e} core-hours of build — at 0.8 efficiency on
+1000 executors × 8 cores that is ~{small_cores * lo['wall_s'] / lo['turns'] * 1e12 / 3600 / (1000 * 8 * 0.8):.0f} hours wall. The plan
+shape is constant in corpus size: one tokenize+pack pass, one shuffle
+whose volume is the compressed posting data (~2-4 bytes/posting), and a
+metadata pass; shard count scales as corpus/`shard_size` with per-shard
+work bounded by `shard_size` — no driver-side state grows with the corpus
+(offsets: one long per ingest partition; stats: one row per term,
+vocabulary-bounded). Query cost scales with the matched terms' posting
+sizes, not corpus size, via term-pruned scans + block-max skipping.
+
 ## Headline operator timings ({SF_DIR}, local[{CPUS}])
 
 | op | sec |
@@ -218,6 +241,19 @@ i.e., the residual is hardware, not an engine serial section.
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-run":
-        _scaling_run(int(sys.argv[2]), int(sys.argv[3]))
+        arg = sys.argv[3]
+        if arg.isdigit():  # back-compat: generate n_convs locally
+            import tempfile as _tf
+
+            os.environ["HORA_SPARK_MASTER"] = f"local[{int(sys.argv[2])}]"
+            from hora_spark.datagen import generate_transcripts
+            from hora_spark.session import get_spark
+
+            sp = get_spark("bench_gen", cores=int(sys.argv[2]))
+            src = _tf.mkdtemp(prefix="hora_bench_src_")
+            generate_transcripts(sp, int(arg), seed=42).write.mode("overwrite").parquet(src)
+            sp.stop()
+            arg = src
+        _scaling_run(int(sys.argv[2]), arg)
     else:
         main()

@@ -83,7 +83,6 @@ def _commit_stats_and_lineage(
     for d in seg_dirs:
         part = spark.read.parquet(d).select(
             "shard_id", "term", "df_local", "block_tf_max",
-            "doc_blocks", "tf_blocks",
         ).withColumn("_dir", F.lit(d))
         seg_meta = part if seg_meta is None else seg_meta.unionByName(part)
 
@@ -103,10 +102,31 @@ def _commit_stats_and_lineage(
     )
     d_stats = store.write_table("stats", term_stats.sortWithinPartitions("term"))
 
-    blob_len = (
-        F.aggregate(F.transform("doc_blocks", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
-        + F.aggregate(F.transform("tf_blocks", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
-    )
+    # bytes per shard from the FILESYSTEM, not by re-reading blob columns
+    # (aggregating array<binary> lengths forces a full blob scan — measured
+    # ~120 core-s at the 1.25M-turn fixture; file sizes are free). Local FS
+    # walk here; on HDFS/S3 this becomes a FileSystem.listStatus call.
+    import os as _os
+
+    bytes_by_key: dict[tuple[str, int], int] = {}
+    for d in seg_dirs:
+        if not _os.path.isdir(d):
+            continue
+        for sub in _os.listdir(d):
+            if not sub.startswith("shard_id="):
+                continue
+            sid = int(sub.split("=", 1)[1])
+            p = _os.path.join(d, sub)
+            sz = sum(
+                _os.path.getsize(_os.path.join(p, f))
+                for f in _os.listdir(p) if f.endswith(".parquet")
+            )
+            bytes_by_key[(d, sid)] = sz
+
+    @F.udf("long")
+    def _bytes_of(d, sid):
+        return bytes_by_key.get((d, int(sid)), 0)
+
     lineage = (
         terms.groupBy("shard_id", "_dir")
         .agg(
@@ -114,8 +134,8 @@ def _commit_stats_and_lineage(
             F.max("term").alias("term_hi"),
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("df_local").alias("doc_count"),
-            F.sum(blob_len).alias("bytes"),
         )
+        .withColumn("bytes", _bytes_of(F.col("_dir"), F.col("shard_id")))
         .withColumn("build_id", F.lit(build_id))
         .withColumn("seg_id", F.col("shard_id"))
         .withColumn("wall_time_s", F.udf(lambda d: wall_by_dir.get(d, 0.0), "double")("_dir"))
