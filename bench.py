@@ -76,13 +76,16 @@ def _scaling_run(cores: int, src: str) -> None:
         spark.stop()
 
 
-def _run_scaling(cores: int, src: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cores), src],
-        capture_output=True, text=True, timeout=1200,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def _run_scaling(cores: int, src: str) -> dict | None:
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cores), src],
+            capture_output=True, text=True, timeout=1200,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        return json.loads(lines[-1]) if lines else None
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -152,19 +155,24 @@ def main() -> None:
             los.append(_run_scaling(small_cores, src))
             his.append(_run_scaling(big_cores, src))
         shutil.rmtree(src, ignore_errors=True)
-        lo = min(los, key=lambda r: r["wall_s"])
-        hi = min(his, key=lambda r: r["wall_s"])
-        ratio = big_cores / small_cores
-        eff = (lo["wall_s"] / hi["wall_s"]) / ratio
-        scaling = {
-            "n_turns": hi["turns"],
-            f"local[{small_cores}]": lo,
-            f"local[{big_cores}]": hi,
-            "speedup": round(lo["wall_s"] / hi["wall_s"], 3),
-            "efficiency": round(eff, 3),
-            "harness_wall_s": round(time.perf_counter() - t0, 1),
-        }
-        _write_bench_md(scaling, small_cores, big_cores, timings)
+        los = [r for r in los if r]
+        his = [r for r in his if r]
+        if los and his:
+            lo = min(los, key=lambda r: r["wall_s"])
+            hi = min(his, key=lambda r: r["wall_s"])
+            ratio = big_cores / small_cores
+            eff = (lo["wall_s"] / hi["wall_s"]) / ratio
+            scaling = {
+                "n_turns": hi["turns"],
+                f"local[{small_cores}]": lo,
+                f"local[{big_cores}]": hi,
+                "speedup": round(lo["wall_s"] / hi["wall_s"], 3),
+                "efficiency": round(eff, 3),
+                "harness_wall_s": round(time.perf_counter() - t0, 1),
+            }
+            _write_bench_md(scaling, small_cores, big_cores, timings)
+        else:
+            scaling = {"error": "scaling subprocess failed/timed out; see BENCH.md for last good numbers"}
 
     result = {
         "metric": "hora_spark_headline_total",
