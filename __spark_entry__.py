@@ -556,7 +556,7 @@ def oracle_sql() -> dict[str, str]:
                            / greatest(len(toks), 1) AS swr
                   FROM tok)
             SELECT lang, count(*) AS n_docs, ROUND(avg(n_tokens), 6) AS avg_tokens,
-                   sum(CASE WHEN swr >= 0.05 THEN 1 ELSE 0 END) AS n_englishish
+                   CAST(sum(CASE WHEN swr >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_englishish
             FROM t GROUP BY lang""",
         # ---- similarity ----
         "knn_bruteforce": """
@@ -622,7 +622,7 @@ def oracle_sql() -> dict[str, str]:
                                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
                        FROM events)
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
     }

@@ -68,6 +68,13 @@ LINEAGE_COLS = [
 _encode_shard = encode_shard_rows
 
 
+def _has_parquet(d: str) -> bool:
+    for root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _commit_stats_and_lineage(
     spark: SparkSession,
     store: SnapshotStore,
@@ -81,10 +88,32 @@ def _commit_stats_and_lineage(
     by column projection): corpus stats + term idf table + lineage."""
     seg_meta = None
     for d in seg_dirs:
+        if not _has_parquet(d):
+            # an empty/all-empty-text corpus writes only _SUCCESS — reading
+            # it would fail schema inference
+            continue
         part = spark.read.parquet(d).select(
             "shard_id", "term", "df_local", "block_tf_max",
         ).withColumn("_dir", F.lit(d))
         seg_meta = part if seg_meta is None else seg_meta.unionByName(part)
+
+    if seg_meta is None:
+        # no live segments at all: commit an EMPTY but well-formed index
+        # (searches return 0 rows instead of raising)
+        d_stats = store.write_table(
+            "stats", spark.createDataFrame([], "term string, df long, idf double")
+        )
+        d_lin = store.stage_dir("lineage")
+        spark.createDataFrame(
+            [], "build_id string, seg_id int, term_lo string, term_hi string, "
+                "n_terms long, doc_count long, bytes long, wall_time_s double",
+        ).write.mode("overwrite").parquet(d_lin)
+        store.commit(
+            {"stats": [d_stats], "lineage": [d_lin]},
+            replace=True,
+            meta={"n_docs": 0, "avgdl": 1.0, "build_id": build_id, **extra_meta},
+        )
+        return
 
     norms = seg_meta.filter(F.col("term") == NORMS_TERM)
     row = norms.agg(

@@ -47,10 +47,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("HORA_SPARK_DRIVER_MEM", "48g"))
     )
-    # only force a master when none was provided by spark-submit
-    if not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE") and "spark.master" not in os.environ.get(
-        "SPARK_CONF", ""
-    ):
+    # Only force a master when none was provided externally. Under
+    # spark-submit (client mode) the JVM gateway launches this Python
+    # process and sets PYSPARK_GATEWAY_PORT — the submit command's --master
+    # is already bound in that JVM, so calling builder.master() here would
+    # override yarn/k8s with local[N]. MASTER / spark.master env covers
+    # bare pyspark shells with an external master.
+    externally_mastered = bool(
+        os.environ.get("PYSPARK_GATEWAY_PORT")
+        or os.environ.get("MASTER")
+        or os.environ.get("SPARK_MASTER")
+    )
+    if not externally_mastered:
         b = b.master(os.environ.get("HORA_SPARK_MASTER", f"local[{cores}]"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -56,10 +56,21 @@ def append_build(
     with_ids = assign_doc_ids(new_df, order_cols or ["conv_id", "turn_idx"]).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base_id)
     )
-    base = with_ids.withColumn("terms", tokenize_udf(F.col(text_col))).withColumn(
+    base_all = with_ids.withColumn("terms", tokenize_udf(F.col(text_col))).withColumn(
         "dl", F.size("terms")
-    ).filter(F.col("dl") > 0)
-    n_new = base.count()
+    )
+    # next_doc_id must advance by the PRE-filter count: assign_doc_ids
+    # numbered every raw row, so a batch containing token-less texts still
+    # consumed those ids — advancing by the live count only would hand the
+    # same ids to the next batch (two docs sharing a doc_id corrupts the
+    # sorted norms lookup and merges postings of different docs)
+    counts = base_all.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum((F.col("dl") > 0).cast("long")).alias("n_live"),
+    ).collect()[0]
+    n_raw = int(counts["n_raw"] or 0)
+    n_new = int(counts["n_live"] or 0)
+    base = base_all.filter(F.col("dl") > 0)
 
     tf = (
         base.select("doc_id", "dl", F.explode("terms").alias("term"))
@@ -74,13 +85,16 @@ def append_build(
     tf = tf.withColumn("shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
 
     k1, b = cfg.bm25.k1, cfg.bm25.b
-    # _encode_shard emits the reserved norms row per shard inline, so the
-    # delta commit is one table append
-    segs = tf.groupBy("shard_id").applyInPandas(
-        lambda pdf: encode_shard_rows(pdf, cfg.index.block_size), SEGMENT_SCHEMA
-    )
-    d_seg = store.stage_dir("segments")
-    segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
+    updates: dict[str, list[str]] = {}
+    if n_new > 0:
+        # _encode_shard emits the reserved norms row per shard inline, so
+        # the delta commit is one table append
+        segs = tf.groupBy("shard_id").applyInPandas(
+            lambda pdf: encode_shard_rows(pdf, cfg.index.block_size), SEGMENT_SCHEMA
+        )
+        d_seg = store.stage_dir("segments")
+        segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
+        updates["segments"] = [d_seg]
 
     lineage = spark.createDataFrame(
         [(batch_id, -1, "", "", 0, n_new, 0, 0.0)],
@@ -89,10 +103,11 @@ def append_build(
     )
     d_lin = store.stage_dir("lineage")
     lineage.write.mode("overwrite").parquet(d_lin)
+    updates["lineage"] = [d_lin]
     v = store.commit(
-        {"segments": [d_seg], "lineage": [d_lin]},
+        updates,
         replace=False,
-        meta={"n_docs": n_docs_old + n_new, "next_doc_id": base_id + n_new,
+        meta={"n_docs": n_docs_old + n_new, "next_doc_id": base_id + n_raw,
               "last_batch_id": batch_id},
     )
     return {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}

@@ -95,3 +95,28 @@ def test_very_long_document(spark, tmp_path):
     assert res[0]["doc_id"] == 1
     res2 = eng.search("word", k=2).collect()
     assert [r["doc_id"] for r in res2] == [0]
+
+
+def test_empty_corpus_build(spark, tmp_path):
+    """Zero input rows → a well-formed EMPTY index (search returns 0 rows),
+    not an AttributeError (regression: _commit_stats_and_lineage on None)."""
+    df = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    eng = Engine(spark, str(tmp_path / "empty"), CFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    assert eng.nodes_size() == 0
+    assert eng.search("anything", k=5).count() == 0
+
+
+def test_all_empty_text_corpus_build(spark, tmp_path):
+    """Rows exist but none tokenize → same empty-index contract."""
+    rows = [("c0", 0, "u", "", None), ("c0", 1, "u", "!!!", None),
+            ("c1", 0, "u", None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    eng = Engine(spark, str(tmp_path / "allempty"), CFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    assert eng.nodes_size() == 0
+    assert eng.search("anything", k=5).count() == 0

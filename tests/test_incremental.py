@@ -112,3 +112,62 @@ def test_stream_ingest(spark, tmp_path):
     q.awaitTermination(120)
     assert eng.nodes_size() > n0
     assert eng.search("the", k=5).count() == 5
+
+
+def test_append_batch_with_tokenless_rows(spark, tmp_path):
+    """A batch containing empty/punct-only texts must still consume their
+    doc_ids: next_doc_id advances by the PRE-filter count, so the following
+    batch cannot reuse a live id (regression: two docs sharing a doc_id
+    corrupts the norms lookup and merges postings of different docs)."""
+    schema = "conv_id string, turn_idx int, role string, text string, tool string"
+    base = spark.createDataFrame(
+        [("c0", 0, "u", "alpha beta", None), ("c0", 1, "u", "gamma", None)], schema
+    )
+    eng = Engine(spark, str(tmp_path / "tl"), CFG)
+    eng.build(base, id_col=None, order_cols=["conv_id", "turn_idx"])
+    next0 = int(eng.store.meta()["next_doc_id"])
+
+    batch1 = spark.createDataFrame(
+        [
+            ("x0", 0, "u", "alpha", None),
+            ("x0", 1, "u", "!!! ...", None),   # punct-only → 0 tokens
+            ("x1", 0, "u", "", None),          # empty
+            ("x1", 1, "u", "beta alpha", None),
+        ],
+        schema,
+    )
+    info1 = append_build(spark, eng.store, batch1, cfg=CFG, batch_id="d1")
+    assert info1["n_new_docs"] == 2
+    meta1 = eng.store.meta()
+    assert int(meta1["next_doc_id"]) == next0 + 4          # raw rows, not live
+    assert int(meta1["n_docs"]) == 2 + 2                   # live docs only
+
+    batch2 = spark.createDataFrame([("y0", 0, "u", "alpha gamma", None)], schema)
+    info2 = append_build(spark, eng.store, batch2, cfg=CFG, batch_id="d2")
+    assert info2["base_doc_id"] == next0 + 4
+
+    res = eng.search("alpha", k=20).collect()
+    ids = [r["doc_id"] for r in res]
+    assert len(ids) == len(set(ids)), f"duplicate doc_ids: {ids}"
+    # batch2's doc is searchable at its non-colliding id
+    assert next0 + 4 in ids
+    # batch1's live docs sit at ids base+0 and base+3 (order-assigned)
+    assert next0 in ids and next0 + 3 in ids
+
+
+def test_append_all_tokenless_batch(spark, tmp_path):
+    """An all-empty batch appends NO segment dir (a schema-less parquet dir
+    would break later reads) but still advances next_doc_id."""
+    schema = "conv_id string, turn_idx int, role string, text string, tool string"
+    base = spark.createDataFrame([("c0", 0, "u", "alpha beta", None)], schema)
+    eng = Engine(spark, str(tmp_path / "te"), CFG)
+    eng.build(base, id_col=None, order_cols=["conv_id", "turn_idx"])
+    next0 = int(eng.store.meta()["next_doc_id"])
+    n_seg_dirs0 = len(eng.store.tables()["segments"])
+
+    batch = spark.createDataFrame([("x0", 0, "u", "...", None)], schema)
+    info = append_build(spark, eng.store, batch, cfg=CFG, batch_id="d0")
+    assert info["n_new_docs"] == 0
+    assert len(eng.store.tables()["segments"]) == n_seg_dirs0
+    assert int(eng.store.meta()["next_doc_id"]) == next0 + 1
+    assert [r["doc_id"] for r in eng.search("alpha", k=5).collect()] == [0]
