@@ -127,6 +127,46 @@ def _mk_bm25_indexed(terms: list[str], k: int = K, prune: bool = True):
     return run
 
 
+DELETED_IDS = list(range(10))
+
+
+def _q_bm25_deleted(spark, sf_dir):
+    """Delete support through the WAND path: tombstone ids 0-9, search —
+    survivors' scores stay frozen (oracle: same BM25 SQL minus those ids).
+    Separate engine instance so the shared cached index stays untouched."""
+    key = sf_dir + "#deleted"
+    if key not in _ENGINE_CACHE:
+        path = tempfile.mkdtemp(prefix="hora_idx_del_")
+        eng = Engine(spark, path, EngineConfig(index=IndexConfig(block_size=32, n_buckets=8)))
+        eng.build(_docs(spark, sf_dir), id_col="doc_id")
+        eng.delete(DELETED_IDS)
+        _ENGINE_CACHE[key] = eng
+    res = _ENGINE_CACHE[key].search(" ".join(HOT_QUERY), k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25_rebuilt(spark, sf_dir):
+    """Append + rebuild end to end: build over the first half of the
+    corpus, append the second half (ids continue seamlessly because the
+    append orders by doc_id), rebuild to refresh N/avgdl/idf — results
+    must equal the plain full-corpus BM25 oracle exactly."""
+    from hora_spark.streaming.incremental import append_build
+
+    key = sf_dir + "#rebuilt"
+    if key not in _ENGINE_CACHE:
+        docs = _docs(spark, sf_dir)
+        half = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+        path = tempfile.mkdtemp(prefix="hora_idx_rb_")
+        eng = Engine(spark, path, EngineConfig(index=IndexConfig(block_size=32, n_buckets=8)))
+        eng.build(docs.filter(F.col("doc_id") <= half), id_col="doc_id")
+        append_build(spark, eng.store, docs.filter(F.col("doc_id") > half),
+                     order_cols=["doc_id"], cfg=eng.cfg, batch_id="delta-half")
+        eng.rebuild()
+        _ENGINE_CACHE[key] = eng
+    res = _ENGINE_CACHE[key].search(" ".join(MID_QUERY), k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_topk_per_term(spark, sf_dir):
     c = _corpus(spark, sf_dir)
     terms = ["join", "dup", "spark"]
@@ -357,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_rare": _mk_bm25_indexed(RARE_QUERY),
         "bm25_indexed_mixed": _mk_bm25_indexed(MIX_QUERY),
         "bm25_indexed_five_noprune": _mk_bm25_indexed(FIVE_QUERY, prune=False),
+        "bm25_indexed_deleted": _q_bm25_deleted,
+        "bm25_indexed_rebuilt": _q_bm25_rebuilt,
         "topk_per_term": _q_topk_per_term,
         # dedup family
         "exact_dup_groups": _q_exact_dups,
@@ -405,8 +447,14 @@ dfs AS (SELECT term, count(*) AS df FROM tfx GROUP BY term)
 """
 
 
-def _bm25_sql(terms: list[str], k: int = K) -> str:
+def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None) -> str:
+    """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
+    stats stay over all docs), matching frozen-stats delete semantics."""
     vals = ", ".join(f"('{t}')" for t in terms)
+    filt = (
+        f"WHERE tfx.doc_id NOT IN ({', '.join(str(int(i)) for i in exclude)})"
+        if exclude else ""
+    )
     return (
         BM25_CTES
         + f""",
@@ -420,6 +468,7 @@ scored AS (
   JOIN dfs USING (term)
   JOIN (SELECT DISTINCT term FROM q) USING (term)
   CROSS JOIN stats
+  {filt}
   GROUP BY tfx.doc_id
 )
 SELECT doc_id, ROUND(s, 6) AS score FROM scored
@@ -494,6 +543,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed_rare": _bm25_sql(RARE_QUERY),
         "bm25_indexed_mixed": _bm25_sql(MIX_QUERY),
         "bm25_indexed_five_noprune": _bm25_sql(FIVE_QUERY),
+        # delete: result-side exclusion only (stats frozen);
+        # rebuild: plain full-corpus oracle — append+rebuild must converge
+        # to exactly what a from-scratch build computes
+        "bm25_indexed_deleted": _bm25_sql(HOT_QUERY, exclude=DELETED_IDS),
+        "bm25_indexed_rebuilt": _bm25_sql(MID_QUERY),
         "topk_per_term": BM25_CTES
         + """SELECT term, doc_id, tf, rnk FROM (
                SELECT term, doc_id, tf,

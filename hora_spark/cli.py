@@ -46,8 +46,16 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--index", required=True)
     a.add_argument("--batch-id", default="delta-cli")
 
-    c = sub.add_parser("compact", help="merge segment deltas (rebuild analog)")
+    c = sub.add_parser("compact", help="merge segment deltas (layout only; stats frozen)")
     c.add_argument("--index", required=True)
+
+    d = sub.add_parser("delete", help="tombstone doc ids (removed from every search)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True, help="comma-separated doc ids")
+
+    rb = sub.add_parser("rebuild", help="compact + refresh corpus stats (full rebuild analog)")
+    rb.add_argument("--index", required=True)
+    rb.add_argument("--build-id", default="rebuild-cli")
 
     g = sub.add_parser("datagen", help="deterministic synthetic transcripts")
     g.add_argument("--out", required=True)
@@ -92,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
         from hora_spark.streaming.incremental import merge_segments
         eng = Engine(spark, args.index)
         print(json.dumps({"version": merge_segments(spark, eng.store)}))
+    elif args.cmd == "delete":
+        eng = Engine(spark, args.index)
+        print(json.dumps(eng.delete([int(x) for x in args.ids.split(",") if x.strip()])))
+    elif args.cmd == "rebuild":
+        eng = Engine(spark, args.index)
+        print(json.dumps(eng.rebuild(build_id=args.build_id)))
     elif args.cmd == "datagen":
         from hora_spark.datagen import write_transcripts
         write_transcripts(spark, args.out, args.convs, seed=args.seed)

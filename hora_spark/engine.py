@@ -78,6 +78,24 @@ class Engine:
             cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
         )
 
+    # ------------------------------------------------------- maintenance --
+    def delete(self, doc_ids) -> dict:
+        """Tombstone docs: excluded from every search immediately (scores
+        of survivors unchanged); bytes removed at compact/rebuild."""
+        from hora_spark.streaming.incremental import delete_docs
+        out = delete_docs(self.spark, self.store, doc_ids)
+        self._idf_caches.clear()  # deletes don't touch idf, but keep tidy
+        return out
+
+    def rebuild(self, build_id: str = "rebuild-0") -> dict:
+        """Compact + refresh corpus stats (ann_index.rs:69-71): appended
+        novel-vocabulary terms become searchable, tombstones become
+        physical, scores equal a from-scratch build over live docs."""
+        from hora_spark.streaming.incremental import rebuild
+        out = rebuild(self.spark, self.store, self.cfg, build_id=build_id)
+        self._idf_caches.clear()  # idf values changed
+        return out
+
     # ------------------------------------------------------------ state ---
     def built(self) -> bool:
         """/root/reference/src/core/ann_index.rs:64 — here: a committed

@@ -33,14 +33,22 @@ from hora_spark.functions.codec import decode_block
 
 
 class TermPosting:
-    """Decoded-on-demand posting list of one (term, shard) segment row."""
+    """Decoded-on-demand posting list of one (term, shard) segment row.
 
-    __slots__ = ("idf", "doc_blocks", "tf_blocks", "block_last", "block_max", "block_start", "_cache")
+    Doc lengths ride WITH the posting (dl_blocks aligned to tf_blocks), so
+    scoring a rare term decodes O(posting) bytes — no shard-wide norms
+    sidecar is touched (the round-1 design decoded the whole shard's
+    doc-length table per query, making rare-term cost scale with shard
+    size instead of posting size)."""
 
-    def __init__(self, idf, doc_blocks, tf_blocks, block_last, block_max):
+    __slots__ = ("idf", "doc_blocks", "tf_blocks", "dl_blocks", "block_last",
+                 "block_max", "block_start", "_cache")
+
+    def __init__(self, idf, doc_blocks, tf_blocks, dl_blocks, block_last, block_max):
         self.idf = float(idf)
         self.doc_blocks = doc_blocks
         self.tf_blocks = tf_blocks
+        self.dl_blocks = dl_blocks
         self.block_last = np.asarray(block_last, dtype=np.int64)
         self.block_max = np.asarray(block_max, dtype=np.float64)
         # first doc id of each block = prev block's last + 1 (lower bound);
@@ -49,15 +57,16 @@ class TermPosting:
         if len(self.block_last):
             self.block_start[0] = 0
             self.block_start[1:] = self.block_last[:-1] + 1
-        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
-    def decode(self, j: int) -> tuple[np.ndarray, np.ndarray]:
+    def decode(self, j: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         got = self._cache.get(j)
         if got is None:
             base = int(self.block_last[j - 1]) if j > 0 else 0
             ids = decode_block(self.doc_blocks[j], base=base, delta=True)
             tfs = decode_block(self.tf_blocks[j], delta=False)
-            got = (ids, tfs)
+            dls = decode_block(self.dl_blocks[j], delta=False)
+            got = (ids, tfs, dls)
             self._cache[j] = got
         return got
 
@@ -86,27 +95,30 @@ def _score_terms_on_docs(
     blocks_per_term: list[np.ndarray],
     lo: int,
     hi: int,
-    norm_ids: np.ndarray,
-    norm_dls: np.ndarray,
     avgdl: float,
     k1: float,
     b: float,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
-    (sorted by term at the call site) → deterministic float sums."""
+    (sorted by term at the call site) → deterministic float sums.
+
+    deleted: optional SORTED int64 array of tombstoned doc ids — they are
+    dropped before the heap, so survivors' scores are untouched (the
+    has_deletion filter of /root/reference/src/index/hnsw_idx.rs:235-237)."""
     all_ids: list[np.ndarray] = []
     all_contrib: list[np.ndarray] = []
     for t, blocks in zip(terms, blocks_per_term):
         for j in blocks:
-            ids, tfs = t.decode(int(j))
+            ids, tfs, dls = t.decode(int(j))
             m = (ids >= lo) & (ids <= hi)
             if not m.any():
                 continue
-            ids_m, tfs_m = ids[m], tfs[m]
-            dls = norm_dls[np.searchsorted(norm_ids, ids_m)]
-            all_ids.append(ids_m)
-            all_contrib.append(t.idf * _tf_sat(tfs_m, dls.astype(np.float64), avgdl, k1, b))
+            all_ids.append(ids[m])
+            all_contrib.append(
+                t.idf * _tf_sat(tfs[m], dls[m].astype(np.float64), avgdl, k1, b)
+            )
     if not all_ids:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cat_ids = np.concatenate(all_ids)
@@ -114,24 +126,29 @@ def _score_terms_on_docs(
     uids, inv = np.unique(cat_ids, return_inverse=True)
     scores = np.zeros(len(uids), dtype=np.float64)
     np.add.at(scores, inv, cat_con)
+    if deleted is not None and len(deleted) and len(uids):
+        pos = np.searchsorted(deleted, uids)
+        pos = np.minimum(pos, len(deleted) - 1)
+        live = deleted[pos] != uids
+        uids, scores = uids[live], scores[live]
     return uids, scores
 
 
 def shard_topk(
     terms: list[TermPosting],
-    norm_ids: np.ndarray,
-    norm_dls: np.ndarray,
     k: int,
     avgdl: float,
     k1: float,
     b: float,
     prune: bool = True,
     batch_docs: int = 8192,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
 
     terms MUST be in sorted term order (pinned summation order).
     prune=False is the exhaustive decode-all path (test oracle).
+    deleted: sorted tombstoned doc ids, excluded from results exactly.
     """
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -139,7 +156,7 @@ def shard_topk(
     if not prune:
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
-            terms, blocks_all, 0, np.iinfo(np.int64).max, norm_ids, norm_dls, avgdl, k1, b
+            terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b, deleted
         )
         return _topk(ids, scores, k)
 
@@ -199,7 +216,7 @@ def shard_topk(
             ]
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
-                norm_ids, norm_dls, avgdl, k1, b,
+                avgdl, k1, b, deleted,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hora_spark.config import EngineConfig
-from hora_spark.functions.codec import decode_block
 from hora_spark.functions.tokenize import tokenize_py
 from hora_spark.functions.wand import TermPosting, shard_topk
 from hora_spark.operators.segments import NORMS_TERM
@@ -52,30 +51,24 @@ def _shard_search(
     k1: float,
     b: float,
     prune: bool,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """One shard group: reserved norms row(s) + this shard's segment rows
-    for all query terms. Runs WAND once per query."""
-    is_norms = seg_pdf["term"] == NORMS_TERM
-    norms_pdf = seg_pdf[is_norms]
-    seg_pdf = seg_pdf[~is_norms]
-    if len(seg_pdf) == 0 or len(norms_pdf) == 0:
+    """One shard group: this shard's segment rows for all query terms.
+    Runs WAND once per query. Doc lengths are decoded from the postings'
+    own dl_blocks — the query touches O(matched posting) bytes, never a
+    shard-sized sidecar (rare-term cost ∝ posting size, not shard size)."""
+    seg_pdf = seg_pdf[seg_pdf["term"] != NORMS_TERM]
+    if len(seg_pdf) == 0:
         return _EMPTY
-    # norms may be several rows after incremental appends (merge-on-read)
-    nid_parts, ndl_parts = [], []
-    for row in norms_pdf.itertuples(index=False):
-        nid_parts.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
-        ndl_parts.append(decode_block(bytes(row.tf_blocks[0]), delta=False).astype(np.float64))
-    norm_ids = np.concatenate(nid_parts)
-    norm_dls = np.concatenate(ndl_parts)
-    order = np.argsort(norm_ids, kind="mergesort")
-    norm_ids, norm_dls = norm_ids[order], norm_dls[order]
     # a term can have MULTIPLE segment rows (base build + appended deltas);
     # each is an independent posting source — every doc lives in exactly
     # one source, so summing per-source contributions stays exact and the
     # per-source block maxima still add up to a true upper bound
     postings: dict[str, list[TermPosting]] = {}
     for row in seg_pdf.itertuples(index=False):
-        idf = idf_map[row.term]
+        idf = idf_map.get(row.term)
+        if idf is None:  # not a query term (scan is pre-filtered in prod)
+            continue
         # stored bounds are avgdl-free (per-block max tf, min dl); the
         # block upper bound idf·sat(tf_max, dl_min) dominates every doc's
         # idf·sat(tf, dl) in the block (sat rises with tf, falls with dl)
@@ -84,14 +77,14 @@ def _shard_search(
         dl_min = np.asarray(row.block_dl_min, dtype=np.float64)
         ub = idf * tf_max / (tf_max + k1 * (1.0 - b + b * dl_min / avgdl))
         postings.setdefault(row.term, []).append(TermPosting(
-            idf, row.doc_blocks, row.tf_blocks, row.block_last, ub,
+            idf, row.doc_blocks, row.tf_blocks, row.dl_blocks, row.block_last, ub,
         ))
     out_q, out_d, out_s = [], [], []
     for qid, terms in enumerate(queries):
         tp = [p for t in terms if t in postings for p in postings[t]]
         if not tp:
             continue
-        ids, scores = shard_topk(tp, norm_ids, norm_dls, k, avgdl, k1, b, prune=prune)
+        ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune, deleted=deleted)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -154,15 +147,27 @@ def search_topk(
     b_queries = spark.sparkContext.broadcast(q_terms)
     b_idf = spark.sparkContext.broadcast(idf_map)
 
+    # tombstoned ids (delete support): a deletes table in the snapshot is
+    # collected to a sorted array and broadcast — the deleted set is tiny
+    # relative to the corpus (physical removal happens at compaction); the
+    # filter is exact (hora's has_deletion check, hnsw_idx.rs:235-237)
+    deleted = None
+    if store.exists("deletes", version):
+        d_rows = store.read("deletes", version).select("doc_id").collect()
+        if d_rows:
+            deleted = np.unique(np.array([r["doc_id"] for r in d_rows], np.int64))
+    b_del = spark.sparkContext.broadcast(deleted)
+
     segs = (
         store.read("segments", version)
-        .filter(F.col("term").isin(live_terms + [NORMS_TERM]))
-        .select("shard_id", "term", "doc_blocks", "tf_blocks", "block_last",
-                "block_tf_max", "block_dl_min")
+        .filter(F.col("term").isin(live_terms))
+        .select("shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
+                "block_last", "block_tf_max", "block_dl_min")
     )
 
     def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _shard_search(seg_pdf, b_queries.value, b_idf.value, k, avgdl, k1, b, prune)
+        return _shard_search(seg_pdf, b_queries.value, b_idf.value, k, avgdl,
+                             k1, b, prune, deleted=b_del.value)
 
     local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -43,7 +43,7 @@ from hora_spark.functions.codec import decode_block, decode_posting, encode_bloc
 
 SEGMENT_SCHEMA = (
     "shard_id int, term string, df_local long, "
-    "doc_blocks array<binary>, tf_blocks array<binary>, "
+    "doc_blocks array<binary>, tf_blocks array<binary>, dl_blocks array<binary>, "
     "block_last array<long>, block_n array<int>, "
     "block_tf_max array<long>, block_dl_min array<int>, "
     "encode_us long"
@@ -73,7 +73,7 @@ def _width_of(maxvals: np.ndarray) -> np.ndarray:
 
 def _empty() -> pd.DataFrame:
     return pd.DataFrame({c: [] for c in (
-        "shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
+        "shard_id", "term", "df_local", "doc_blocks", "tf_blocks", "dl_blocks",
         "block_last", "block_n", "block_tf_max", "block_dl_min", "encode_us")})
 
 
@@ -107,8 +107,12 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     gap_max = np.maximum.reduceat(gaps, b_starts)
     tf_max = np.maximum.reduceat(tfs, b_starts)
     dl_min = np.minimum.reduceat(dls, b_starts)
+    dl_max = np.maximum.reduceat(dls, b_starts)
     doc_blocks = _pack_blocks(gaps, b_starts, b_ends, _width_of(gap_max))
     tf_blocks = _pack_blocks(tfs, b_starts, b_ends, _width_of(tf_max))
+    # doc lengths ride with the posting (dl_blocks ∥ tf_blocks): scoring a
+    # term decodes O(posting) bytes, never a shard-wide norms sidecar
+    dl_blocks = _pack_blocks(dls, b_starts, b_ends, _width_of(dl_max))
     block_last = doc_ids[b_ends - 1]
     block_n = (b_ends - b_starts).astype(np.int32)
 
@@ -121,6 +125,7 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         "df_local": (t_ends - t_starts).astype(np.int64),
         "doc_blocks": [doc_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
         "tf_blocks": [tf_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
+        "dl_blocks": [dl_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
         "block_last": [block_last[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
         "block_n": [block_n[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
         "block_tf_max": [tf_max[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
@@ -136,6 +141,7 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         "df_local": [len(nd_ids)],
         "doc_blocks": [[encode_block(nd_ids, base=0, delta=True)]],
         "tf_blocks": [[encode_block(nd_dls, delta=False)]],
+        "dl_blocks": [[]],
         "block_last": [[]],
         "block_n": [[len(nd_ids)]],
         "block_tf_max": [[int(nd_dls.sum())]],
@@ -147,38 +153,45 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     return out
 
 
-def merge_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def merge_shard_rows(
+    pdf: pd.DataFrame, block_size: int, deleted: np.ndarray | None = None
+) -> pd.DataFrame:
     """Any set of segment rows of ONE shard (partials from the map side,
     or base+delta rows during compaction) → canonical rows, by decoding
-    everything and re-encoding. Deterministic in the logical content."""
-    is_norms = pdf["term"] == NORMS_TERM
-    norms_rows = pdf[is_norms]
-    seg_rows = pdf[~is_norms]
-    if not len(norms_rows) or not len(seg_rows):
-        return _empty()
-    ids_all, dls_all = [], []
-    for row in norms_rows.itertuples(index=False):
-        ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
-        dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
-    nids = np.concatenate(ids_all)
-    ndls = np.concatenate(dls_all)
-    order = np.argsort(nids, kind="mergesort")
-    nids, ndls = nids[order], ndls[order]
+    everything and re-encoding. Deterministic in the logical content.
 
-    ids_out, tfs_out, lens = [], [], []
+    deleted: sorted tombstoned doc ids — physically removed here (the
+    compaction half of delete support; queries filter them exactly until
+    then)."""
+    is_norms = pdf["term"] == NORMS_TERM
+    seg_rows = pdf[~is_norms]
+    if not len(seg_rows):
+        return _empty()
+    # dl rides with each posting (dl_blocks), so the input norms rows are
+    # not needed to reconstruct (doc, term, tf, dl) — encode_shard_rows
+    # regenerates the canonical norms row from the tuples (every live doc
+    # appears in ≥1 posting)
+    ids_out, tfs_out, dls_out, lens = [], [], [], []
     for row in seg_rows.itertuples(index=False):
         ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
+        dls = np.concatenate(
+            [decode_block(bytes(b), delta=False) for b in row.dl_blocks]
+        ) if len(row.dl_blocks) else np.empty(0, np.int64)
         ids_out.append(ids)
         tfs_out.append(tfs)
+        dls_out.append(dls)
         lens.append(len(ids))
     doc_id = np.concatenate(ids_out)
     tf_pdf = pd.DataFrame({
         "shard_id": np.full(len(doc_id), int(pdf["shard_id"].iloc[0]), np.int32),
         "doc_id": doc_id,
-        "dl": ndls[np.searchsorted(nids, doc_id)],
+        "dl": np.concatenate(dls_out),
         "term": np.repeat(seg_rows["term"].to_numpy(), lens),
         "tf": np.concatenate(tfs_out),
     })
+    if deleted is not None and len(deleted):
+        pos = np.minimum(np.searchsorted(deleted, doc_id), len(deleted) - 1)
+        tf_pdf = tf_pdf[deleted[pos] != doc_id]
     return encode_shard_rows(tf_pdf, block_size)
 
 
@@ -233,8 +246,10 @@ def map_partial_segments(
             gap_max = np.maximum.reduceat(gaps, g_starts)
             tf_maxg = np.maximum.reduceat(counts, g_starts)
             dl_ming = np.minimum.reduceat(p_dl, g_starts)
+            dl_maxg = np.maximum.reduceat(p_dl, g_starts)
             dblocks = _pack_blocks(gaps, g_starts, g_ends, _width_of(gap_max))
             tblocks = _pack_blocks(counts, g_starts, g_ends, _width_of(tf_maxg))
+            dlblocks = _pack_blocks(p_dl, g_starts, g_ends, _width_of(dl_maxg))
             lasts = p_doc[g_ends - 1]
             ns = (g_ends - g_starts).astype(np.int64)
             rows = {
@@ -243,6 +258,7 @@ def map_partial_segments(
                 "df_local": ns,
                 "doc_blocks": [[b] for b in dblocks],
                 "tf_blocks": [[b] for b in tblocks],
+                "dl_blocks": [[b] for b in dlblocks],
                 "block_last": [[int(x)] for x in lasts],
                 "block_n": [[int(x)] for x in ns],
                 "block_tf_max": [[int(x)] for x in tf_maxg],
@@ -270,6 +286,7 @@ def map_partial_segments(
                 "df_local": n_ns,
                 "doc_blocks": [[b] for b in n_dblocks],
                 "tf_blocks": [[b] for b in n_tblocks],
+                "dl_blocks": [[]] * len(n_ns),
                 "block_last": [[]] * len(n_ns),
                 "block_n": [[int(x)] for x in n_ns],
                 "block_tf_max": [[int(x)] for x in sums],

@@ -90,12 +90,17 @@ class SnapshotStore:
         w.parquet(d)
         return d
 
-    def commit(self, updates: dict[str, list[str]], replace: bool = True, meta: dict | None = None) -> int:
+    def commit(self, updates: dict[str, list[str]], replace: bool = True,
+               meta: dict | None = None, drop: list[str] | None = None) -> int:
         """Atomically publish a new snapshot. updates: table → data dirs.
-        replace=True swaps the table's dirs; False appends to them."""
+        replace=True swaps the table's dirs; False appends to them.
+        drop: tables removed from the new manifest (e.g. the deletes
+        tombstone table after compaction physically removed the rows)."""
         v = self.current_version()
         manifest = self._manifest(v)
         tables = manifest["tables"]
+        for t in drop or []:
+            tables.pop(t, None)
         for t, dirs in updates.items():
             if replace or t not in tables:
                 tables[t] = list(dirs)

@@ -13,11 +13,16 @@ shared-memory graph mutation. The log-structured distributed equivalent:
   posting sources (each doc lives in exactly one source, so scores are
   exact; upper bounds add, staying true bounds).
 
-- `merge_segments`: compaction — the `rebuild()` analog
-  (/root/reference/src/core/ann_index.rs:69-71) for the storage layout:
-  decode every (shard, term)'s row set, concatenate (doc-id-sorted), and
-  re-encode as a single row; commit replaces the segments table. Logical
-  content is unchanged (asserted in tests).
+- `merge_segments`: compaction of the storage layout: decode every
+  (shard, term)'s row set, concatenate (doc-id-sorted), re-encode as a
+  single row, physically dropping tombstoned docs; commit replaces the
+  segments table. Logical content is otherwise unchanged (asserted in
+  tests); stats stay frozen.
+
+- `delete_docs` / `rebuild`: tombstone-then-compact delete support (the
+  `has_deletion` filter, /root/reference/src/index/hnsw_params.rs:53-63)
+  and the full stats-refreshing `rebuild()` analog
+  (/root/reference/src/core/ann_index.rs:69-71).
 
 - `stream_ingest`: Structured Streaming wrapper — readStream over a
   directory, foreachBatch → append_build, one snapshot commit per batch
@@ -78,7 +83,7 @@ def append_build(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # frozen stats: the stats table is NOT updated, so terms unseen at
-    # build time have no idf and are not searchable until merge/rebuild
+    # build time have no idf and are not searchable until `rebuild`
     # (hora analog: a point inserted into a frozen graph can only link to
     # existing nodes). Segments store idf-free saturation maxima, so no
     # stats join is needed here at all.
@@ -113,17 +118,98 @@ def append_build(
     return {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}
 
 
+def _deleted_array(store: SnapshotStore):
+    """Sorted tombstoned doc ids from the deletes table, or None."""
+    import numpy as np
+
+    if not store.exists("deletes"):
+        return None
+    rows = store.read("deletes").select("doc_id").collect()
+    if not rows:
+        return None
+    return np.unique(np.array([r["doc_id"] for r in rows], np.int64))
+
+
+def delete_docs(spark: SparkSession, store: SnapshotStore, doc_ids) -> dict:
+    """Tombstone docs (hora's `has_deletion` search filter,
+    /root/reference/src/index/hnsw_params.rs:53-63 and the deleted-id check
+    /root/reference/src/index/hnsw_idx.rs:235-237): queries exclude them
+    exactly and immediately; survivors' scores are UNCHANGED (stats stay
+    frozen); the bytes are physically removed at the next compaction or
+    rebuild. doc_ids: iterable of ints or a one-column DataFrame."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    d = store.stage_dir("deletes")
+    df.write.mode("overwrite").parquet(d)
+    v = store.commit({"deletes": [d]}, replace=False)
+    return {"version": v}
+
+
 def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig | None = None) -> int:
     """Compaction: one row per (shard, term), norms rows included;
-    replaces the segments table."""
+    replaces the segments table and physically removes tombstoned docs.
+    Corpus stats stay FROZEN (so all scores are unchanged); only
+    `rebuild` refreshes N/avgdl/df and makes appended novel-vocabulary
+    terms searchable."""
     cfg = cfg or EngineConfig()
+    deleted = _deleted_array(store)
+    b_del = spark.sparkContext.broadcast(deleted)
     segs = store.read("segments")
     merged = segs.groupBy("shard_id").applyInPandas(
-        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size), SEGMENT_SCHEMA
+        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size, deleted=b_del.value),
+        SEGMENT_SCHEMA,
     )
     d_seg = store.stage_dir("segments")
     merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
-    return store.commit({"segments": [d_seg]}, replace=True)
+    return store.commit({"segments": [d_seg]}, replace=True, drop=["deletes"])
+
+
+def rebuild(
+    spark: SparkSession,
+    store: SnapshotStore,
+    cfg: EngineConfig | None = None,
+    build_id: str = "rebuild-0",
+) -> dict:
+    """The `rebuild()` analog (/root/reference/src/core/ann_index.rs:69-71):
+    compact the segment layout (physically dropping tombstoned docs) AND
+    recompute corpus stats (N, avgdl, per-term df/idf) over the result.
+
+    After `append_build` the stats are frozen at build-time values, so
+    terms first seen in appended batches have no idf row and are not
+    searchable; after `delete_docs` the stats still count the tombstones.
+    rebuild makes both permanent: search results become rank-identical to
+    a from-scratch build over the live corpus."""
+    import time
+
+    from hora_spark.operators.build_index import _commit_stats_and_lineage
+
+    cfg = cfg or EngineConfig()
+    meta = store.meta()
+    t0 = time.perf_counter()
+    deleted = _deleted_array(store)
+    b_del = spark.sparkContext.broadcast(deleted)
+    segs = store.read("segments")
+    merged = segs.groupBy("shard_id").applyInPandas(
+        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size, deleted=b_del.value),
+        SEGMENT_SCHEMA,
+    )
+    d_seg = store.stage_dir("segments")
+    merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
+    store.commit({"segments": [d_seg]}, replace=True, drop=["deletes"])
+    # stats + lineage recomputed in full over the compacted segment set —
+    # the same metadata pass the build uses (blob columns pruned)
+    passthrough = {
+        k: meta[k] for k in ("shard_size", "n_shards", "max_doc_id", "next_doc_id", "bm25")
+        if k in meta
+    }
+    _commit_stats_and_lineage(
+        spark, store, [d_seg], cfg, build_id,
+        {d_seg: time.perf_counter() - t0}, extra_meta=passthrough,
+    )
+    return {"version": store.current_version(), "build_id": build_id,
+            "n_docs": int(store.meta().get("n_docs", 0))}
 
 
 def stream_ingest(

@@ -40,7 +40,7 @@ def _segment_fingerprint(eng):
     rows = (
         eng.store.read("segments")
         .select("shard_id", "term", "df_local", "doc_blocks", "tf_blocks",
-                "block_last", "block_tf_max", "block_dl_min")
+                "dl_blocks", "block_last", "block_tf_max", "block_dl_min")
         .collect()
     )
     return sorted(
@@ -48,6 +48,7 @@ def _segment_fingerprint(eng):
             r["shard_id"], r["term"], r["df_local"],
             tuple(bytes(b) for b in r["doc_blocks"]),
             tuple(bytes(b) for b in r["tf_blocks"]),
+            tuple(bytes(b) for b in r["dl_blocks"]),
             tuple(r["block_last"]), tuple(r["block_tf_max"]), tuple(r["block_dl_min"]),
         )
         for r in rows
