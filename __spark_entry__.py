@@ -219,8 +219,12 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    # cap raised above the sample size so the SQL oracle (uncapped) is
+    # exact here; the over-cap star-pair path is pinned in pytest instead
     df = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.simhash_near_pairs(df).select("doc_a", "doc_b", "hamming")
+    return dedup.simhash_near_pairs(df, max_bucket=100_000).select(
+        "doc_a", "doc_b", "hamming"
+    )
 
 
 # -------------------------------------------------------- textstats family --
@@ -259,12 +263,42 @@ def _q_knn_bruteforce(spark, sf_dir):
     )
 
 
+def _mk_knn(metric: str):
+    def run(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.bruteforce_knn(emb, queries, k=10, metric=metric).select(
+            "query_id", "vec_id", "sim"
+        )
+    return run
+
+
 def _q_knn_lsh(spark, sf_dir):
+    """Approximate LSH kNN with a per-query recall column vs the exact
+    brute force (the reference's accuracy harness, lib.rs:97-111, as a
+    driver-visible number instead of a printout)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_knn(emb, queries, k=10, n_planes=6, n_tables=6)
+    approx = similarity.lsh_knn(emb, queries, k=10, n_planes=6, n_tables=6)
+    exact = similarity.bruteforce_knn(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("exact_vec_id")
+    )
+    rec = (
+        approx.join(F.broadcast(exact),
+                    (approx.query_id == exact.query_id)
+                    & (approx.vec_id == exact.exact_vec_id), "left")
+        .groupBy(approx.query_id.alias("qid"))
+        .agg(F.round(F.count("exact_vec_id") / F.lit(10.0), 6).alias("recall"))
+    )
+    return (
+        approx.join(F.broadcast(rec), approx.query_id == rec.qid)
+        .select("query_id", "vec_id", "sim", "recall")
+        .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
+    )
 
 
 def _q_embedding_norms(spark, sf_dir):
@@ -414,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_breakdown": _q_lang_breakdown,
         # similarity family
         "knn_bruteforce": _q_knn_bruteforce,
+        "knn_manhattan": _mk_knn("manhattan"),
+        "knn_angular": _mk_knn("angular"),
         "knn_lsh": _q_knn_lsh,                      # approximate → rows-only
         "embedding_norms": _q_embedding_norms,
         # relational scaffolding
@@ -494,6 +530,21 @@ _LSH_N, _LSH_BANDS = 8, 4
 _LSH_RPB = _LSH_N // _LSH_BANDS
 
 
+def _simhash_ctes(lim: int) -> str:
+    """60-bit simhash in DuckDB: md5 first 15 hex chars → BIGINT via a
+    0x-prefixed cast, then per-bit majority — the exact twin of
+    dedup.simhash_col (Spark conv(hex,16,10) == DuckDB CAST('0x…'))."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < {lim}),
+h AS (SELECT doc_id, list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs,
+             len(toks) AS n FROM tok),
+s AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
+          CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > n
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM h)
+"""
+
+
 def _lsh_pairs_sql() -> str:
     mh = ", ".join(f"{_minhash_expr(i)} AS m{i}" for i in range(_LSH_N))
     band_rows = " UNION ALL ".join(
@@ -571,6 +622,17 @@ def oracle_sql() -> dict[str, str]:
                    {_minhash_expr(2)} AS mh2, {_minhash_expr(3)} AS mh3
             FROM shing""",
         "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "simhash_values": _simhash_ctes(50)
+        + "SELECT doc_id, simhash FROM s",
+        "simhash_near_pairs": _simhash_ctes(300)
+        + """,
+            bands AS (SELECT doc_id, simhash AS sh, CAST(b.range AS INT) AS band,
+                             (simhash >> (CAST(b.range AS INT) * 15)) & 32767 AS key
+                      FROM s CROSS JOIN range(4) b)
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                   bit_count(xor(a.sh, b2.sh)) AS hamming
+            FROM bands a JOIN bands b2
+              ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id""",
         "jaccard_pairs_small": f"""
             WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 60),
             shing AS (SELECT doc_id, {SHINGLES} AS sh FROM tok)
@@ -619,7 +681,28 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
             scored AS (SELECT query_id, e.vec_id, list_cosine_similarity(e.v, qv) AS s
                        FROM e CROSS JOIN q)
-            SELECT query_id, vec_id, ROUND(s, 6) AS sim FROM scored
+            SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
+        # manhattan / angular mirror metrics.rs:59-64,88-103, sign-inverted
+        # to the larger-is-closer `sim` convention used engine-wide
+        "knn_manhattan": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (SELECT query_id, e.vec_id,
+                              -list_sum(list_transform(range(len(e.v)),
+                                        i -> abs(e.v[i+1] - qv[i+1]))) AS s
+                       FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
+        "knn_angular": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (SELECT query_id, e.vec_id,
+                              2.0 * list_cosine_similarity(e.v, qv) - 2.0 AS s
+                       FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
         "embedding_norms": """
             SELECT vec_id, label,
@@ -680,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
     }
-    # knn_lsh / simhash_* / multimodal_features: approximate or bit-op-heavy
-    # → rows-only driver check; their exactness is covered in pytest
+    # knn_lsh (approximate; carries its own recall-vs-bruteforce column) and
+    # multimodal_features (binary plumbing) stay rows-only; everything else
+    # is hash-checked against DuckDB
     return o

@@ -75,6 +75,29 @@ def _has_parquet(d: str) -> bool:
     return False
 
 
+def _shard_bytes(spark: SparkSession, d: str) -> dict[int, int]:
+    """Parquet bytes per shard_id= partition of one segment dir, via the
+    Hadoop FileSystem API (works on local FS, HDFS, S3A alike)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(hconf)
+    out: dict[int, int] = {}
+    if not fs.exists(path):
+        return out
+    for sub in fs.listStatus(path):
+        name = sub.getPath().getName()
+        if not (sub.isDirectory() and name.startswith("shard_id=")):
+            continue
+        sid = int(name.split("=", 1)[1])
+        total = 0
+        for f in fs.listStatus(sub.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                total += int(f.getLen())
+        out[sid] = total
+    return out
+
+
 def _commit_stats_and_lineage(
     spark: SparkSession,
     store: SnapshotStore,
@@ -133,28 +156,20 @@ def _commit_stats_and_lineage(
 
     # bytes per shard from the FILESYSTEM, not by re-reading blob columns
     # (aggregating array<binary> lengths forces a full blob scan — measured
-    # ~120 core-s at the 1.25M-turn fixture; file sizes are free). Local FS
-    # walk here; on HDFS/S3 this becomes a FileSystem.listStatus call.
-    import os as _os
-
-    bytes_by_key: dict[tuple[str, int], int] = {}
-    for d in seg_dirs:
-        if not _os.path.isdir(d):
-            continue
-        for sub in _os.listdir(d):
-            if not sub.startswith("shard_id="):
-                continue
-            sid = int(sub.split("=", 1)[1])
-            p = _os.path.join(d, sub)
-            sz = sum(
-                _os.path.getsize(_os.path.join(p, f))
-                for f in _os.listdir(p) if f.endswith(".parquet")
-            )
-            bytes_by_key[(d, sid)] = sz
-
-    @F.udf("long")
-    def _bytes_of(d, sid):
-        return bytes_by_key.get((d, int(sid)), 0)
+    # ~120 core-s at the 1.25M-turn fixture; file sizes are free). The walk
+    # uses the Hadoop FileSystem API so lineage works on HDFS/S3 too, and
+    # the (dir, shard) → (bytes, wall) map joins in as a broadcast side —
+    # its cardinality is shards × dirs, driver-trivial, and the join keeps
+    # the whole lineage job JVM-side (no per-row Python).
+    sizes_rows = [
+        (d, sid, sz, float(wall_by_dir.get(d, 0.0)))
+        for d in seg_dirs
+        for sid, sz in _shard_bytes(spark, d).items()
+    ]
+    sizes_df = spark.createDataFrame(
+        sizes_rows or [("", -1, 0, 0.0)],
+        "_dir string, shard_id int, bytes long, wall_time_s double",
+    )
 
     lineage = (
         terms.groupBy("shard_id", "_dir")
@@ -164,10 +179,10 @@ def _commit_stats_and_lineage(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("df_local").alias("doc_count"),
         )
-        .withColumn("bytes", _bytes_of(F.col("_dir"), F.col("shard_id")))
+        .join(F.broadcast(sizes_df), ["shard_id", "_dir"], "left")
+        .na.fill({"bytes": 0, "wall_time_s": 0.0})
         .withColumn("build_id", F.lit(build_id))
         .withColumn("seg_id", F.col("shard_id"))
-        .withColumn("wall_time_s", F.udf(lambda d: wall_by_dir.get(d, 0.0), "double")("_dir"))
         .select(*LINEAGE_COLS)
     )
     d_lin = store.stage_dir("lineage")

@@ -15,9 +15,11 @@ Four tiers, all shuffle-conscious:
                 scale path).
 
 Scale notes: LSH candidate generation is the classic band-bucket
-shuffle; bucket skew (boilerplate docs) is bounded by capping bucket size
-(a bucket of b docs yields b² pairs — huge buckets ARE duplicate classes
-already and are emitted directly, not pair-expanded).
+shuffle; bucket skew (boilerplate docs) is bounded by capping bucket size:
+a bucket of b docs would yield b² pairs, so over-cap buckets — which ARE
+duplicate classes already — are emitted as O(b) star pairs against the
+bucket's min doc_id instead of being pair-expanded (or dropped). The same
+guard applies to the simhash band self-join.
 """
 
 from __future__ import annotations
@@ -111,19 +113,30 @@ def minhash_lsh_candidates(
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # bucket-size cap: huge buckets are dup classes, not pair material
+    # bucket-size cap: a bucket of n docs would emit n² join rows, and on a
+    # boilerplate-heavy corpus the BIGGEST buckets are exactly the dup
+    # classes dedup exists for. Over-cap buckets are therefore emitted as
+    # STAR pairs (every member against the bucket's min doc_id) — O(n) rows
+    # that still mark each member a duplicate of the kept representative —
+    # while small buckets get the full pairwise expansion.
     sized = band_keys.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).withColumn(
+        "bucket_min", F.min("doc_id").over(Window.partitionBy("band", "key"))
     )
-    small = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    small = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n", "bucket_min")
     a = small.alias("a")
     b = small.alias("b")
-    return (
+    small_pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    big_pairs = (
+        sized.filter((F.col("bucket_n") > max_bucket) & (F.col("doc_id") != F.col("bucket_min")))
+        .select(F.col("bucket_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def jaccard_pairs(
@@ -198,10 +211,19 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 15
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 15,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Hamming-distance blocking: docs agreeing on any 15-bit band of the
-    60-bit simhash are candidates (catches Hamming distance ≤ 3)."""
+    60-bit simhash are candidates (catches Hamming distance ≤ 3).
+
+    Same skew guard as the MinHash sibling: an identical-fingerprint class
+    of n docs would emit n² join rows, so over-cap band buckets collapse to
+    STAR pairs against the bucket's min doc_id (O(n), still marks every
+    member a near-dup of the kept representative)."""
     base = df.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("sh"))
     bands = base.select(
         "doc_id", "sh",
@@ -211,11 +233,32 @@ def simhash_near_pairs(
             for i in range(60 // band_bits)
         ])).alias("bk"),
     ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).withColumn(
+        "min_doc",
+        F.first("doc_id").over(
+            Window.partitionBy("band", "key").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    ).withColumn(
+        "min_sh",
+        F.first("sh").over(
+            Window.partitionBy("band", "key").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"))
-        .distinct()
     )
+    big_pairs = (
+        sized.filter((F.col("bucket_n") > max_bucket) & (F.col("doc_id") != F.col("min_doc")))
+        .select(F.col("min_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"),
+                F.bit_count(F.col("min_sh").bitwiseXOR(F.col("sh"))).alias("hamming"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()

@@ -41,11 +41,19 @@ def bruteforce_knn(
     metric: str = "cosine",
 ) -> DataFrame:
     """Exact top-k per query → (query_id, vec_id, sim) ordered
-    (query_id, sim DESC, vec_id ASC). queries: (query_id, embedding)."""
+    (query_id, sim DESC, vec_id ASC). queries: (query_id, embedding).
+
+    Metrics mirror /root/reference/src/core/metrics.rs (sign-inverted to a
+    larger-is-closer `sim`): cosine, dot (:56), euclidean (squared, :66),
+    manhattan (:59, Σ|a−b|), angular (:88-103, 2−2·cos).
+
+    Each Arrow batch keeps only its per-query top-k BEFORE the exchange
+    (np.argpartition), so the window shuffle carries ≤ k·n_q rows per batch
+    instead of batch·n_q — the map-side-combine of top-k."""
     q_rows = queries.select("query_id", vec_col).collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    if metric == "cosine":
+    if metric in ("cosine", "angular"):
         q_norm = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
     else:
         q_norm = q_mat
@@ -64,27 +72,48 @@ def bruteforce_knn(
             if not len(pdf):
                 continue
             m = _as_matrix(pdf[vec_col])
-            if metric == "cosine":
-                m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-                sims = m @ qn.T                   # (batch, n_q)
+            if metric in ("cosine", "angular"):
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+                cos = mn @ qn.T                   # (batch, n_q)
+                sims = cos if metric == "cosine" else 2.0 * cos - 2.0
             elif metric == "dot":
                 sims = m @ qn.T
+            elif metric == "manhattan":
+                sims = -np.abs(m[:, None, :] - qn[None, :, :]).sum(-1)
             else:  # euclidean: negated squared distance (larger = closer)
-                d2 = ((m[:, None, :] - qn[None, :, :]) ** 2).sum(-1)
-                sims = -d2
+                sims = -((m[:, None, :] - qn[None, :, :]) ** 2).sum(-1)
             n_b, n_q = sims.shape
-            yield pd.DataFrame({
-                "query_id": np.repeat(ids_q, n_b),
-                "vec_id": np.tile(pdf[id_col].to_numpy(np.int64), n_q),
-                "sim": sims.T.ravel(),
-            })
+            # map-side top-k: per query, keep this batch's k best under the
+            # FULL tie-break (sim DESC, vec_id ASC) so the global window
+            # sees every row it could possibly rank — exactness preserved
+            vids = pdf[id_col].to_numpy(np.int64)
+            if n_b > k:
+                out_q, out_v, out_s = [], [], []
+                for qi in range(n_q):
+                    order = np.lexsort((vids, -sims[:, qi]))[:k]
+                    out_q.append(np.full(k, ids_q[qi], np.int64))
+                    out_v.append(vids[order])
+                    out_s.append(sims[order, qi])
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "sim": np.concatenate(out_s),
+                })
+            else:
+                yield pd.DataFrame({
+                    "query_id": np.repeat(ids_q, n_b),
+                    "vec_id": np.tile(vids, n_q),
+                    "sim": sims.T.ravel(),
+                })
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+        # + 0.0 canonicalizes IEEE −0.0 (self-distance under manhattan/
+        # angular) so both engines render "0.000000"
+        .select("query_id", "vec_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"))
         .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
     )
 

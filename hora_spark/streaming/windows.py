@@ -37,13 +37,22 @@ def stream_windowed_counts(
     watermark: str = "2 hours",
     schema: str = EVENT_SCHEMA,
     query_name: str = "windowed_counts",
+    sink_dir: str | None = None,
 ):
     """readStream over a directory of event parquet → watermarked windowed
-    counts → in-memory sink (complete mode), availableNow trigger.
+    counts, availableNow trigger.
 
-    Watermark semantics: events later than `watermark` behind the max seen
-    ts are dropped from their window — the state store stays bounded, the
-    requirement for running this over an unbounded 100 TB event stream.
+    sink_dir given (the PRODUCTION shape): UPDATE output mode through
+    foreachBatch into parquet — each micro-batch appends only the rows it
+    changed, stamped with the batch id; `read_windowed_counts` resolves
+    the latest row per window key. In update mode the watermark actually
+    drops late events and EVICTS finalized windows from the state store,
+    which is what makes an unbounded stream runnable with bounded state.
+
+    sink_dir=None (TEST/interactive only): memory sink in complete mode.
+    Complete mode re-emits the whole result every batch and keeps ALL
+    window state — the watermark does not evict and the driver-side memory
+    sink grows with the result; never use it on an unbounded stream.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -53,11 +62,38 @@ def stream_windowed_counts(
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
     )
+    if sink_dir is None:
+        return (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def emit(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("append").parquet(sink_dir))
+
     return (
-        stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
+        stream.writeStream.outputMode("update")
+        .foreachBatch(emit)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_windowed_counts(spark: SparkSession, sink_dir: str):
+    """Current value per (w_start, event_type) from the update-mode sink:
+    the row written by the LATEST batch wins."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(sink_dir)
+    w = W.partitionBy("w_start", "event_type").orderBy(F.desc("_batch_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
     )

@@ -82,3 +82,42 @@ def test_idf_cache_identical_results(spark, tmp_path):
     # absent terms cached as None, still absent on the cached path
     assert eng.search("zzzqqqxx", k=5).count() == 0
     assert eng.search("zzzqqqxx", k=5).count() == 0
+
+
+def test_manhattan_metric_pinned(spark):
+    """manhattan((1,1),(2,2)) == 2 — the reference's pin at
+    /root/reference/src/core/node.rs:177-186 (ours sign-inverted)."""
+    rows = [(0, [1.0, 1.0], 0), (1, [2.0, 2.0], 0), (2, [5.0, -1.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.bruteforce_knn(df, q, k=3, metric="manhattan").collect()
+    sims = {r["vec_id"]: r["sim"] for r in res}
+    assert sims[0] == 0.0
+    assert sims[1] == pytest.approx(-2.0, abs=1e-9)
+    assert sims[2] == pytest.approx(-6.0, abs=1e-9)   # |1-5| + |1-(-1)|
+
+
+def test_angular_metric_pinned(spark, tiny_vecs):
+    """angular = 2 − 2·cos (/root/reference/src/core/metrics.rs:88-103),
+    sign-inverted: identical → 0, opposite → −4."""
+    q = tiny_vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.bruteforce_knn(tiny_vecs, q, k=4, metric="angular").collect()
+    sims = {r["vec_id"]: r["sim"] for r in res}
+    assert sims[0] == pytest.approx(0.0, abs=1e-6)
+    assert sims[1] == pytest.approx(0.0, abs=1e-6)
+    assert sims[2] == pytest.approx(-4.0, abs=1e-6)
+
+
+def test_partial_topk_matches_unbatched(spark):
+    """The map-side top-k (per-Arrow-batch pruning before the exchange)
+    must not change results, including ties at the k-th score."""
+    n = 500
+    rows = [(i, [float(i % 7), 1.0], 0) for i in range(n)]  # heavy ties
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").repartition(8)
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<float>")
+    got = similarity.bruteforce_knn(df, q, k=12, metric="dot").collect()
+    # dot = i%7 → scores 6,6,... ties broken by vec_id asc: 6,13,20,...
+    want_ids = [6 + 7 * j for j in range(12)]
+    assert [r["vec_id"] for r in got] == want_ids
+    assert all(r["sim"] == 6.0 for r in got)

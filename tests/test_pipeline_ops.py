@@ -189,3 +189,51 @@ def test_real_decoder_gated(spark):
     if not multimodal.decode_available():
         with pytest.raises(NotImplementedError):
             multimodal._real_decode(b"x", "image")
+
+
+def test_lsh_overcap_buckets_become_star_pairs(spark):
+    """A boilerplate class of b identical docs must NOT be dropped by the
+    bucket cap (round-1 bug) and must NOT blow up to b² pairs: over-cap
+    buckets emit b−1 star pairs against the min doc_id, and the composed
+    pipeline removes every copy but one."""
+    from hora_spark.operators import dedup
+    from hora_spark.operators.pipeline import prepare_training_corpus
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [
+        f"completely different document number {i} with distinct words "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        for i in range(5)
+    ]
+    rows = [(i, boiler) for i in range(1000)] + [
+        (1000 + i, t) for i, t in enumerate(uniq)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.minhash_lsh_candidates(df, n_hashes=8, bands=4, max_bucket=64)
+    got = pairs.collect()
+    # exactly the star: (0, b) for every other boilerplate member, per band
+    # deduped → 999 pairs, O(b) not O(b²)
+    assert len(got) == 999
+    assert {r["doc_a"] for r in got} == {0}
+    assert {r["doc_b"] for r in got} == set(range(1, 1000))
+
+    cleaned, rep = prepare_training_corpus(df, min_tokens=5, min_quality=0.0)
+    kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert 0 in kept
+    assert not kept & set(range(1, 1000)), "boilerplate copies survived dedup"
+    assert kept >= {1000 + i for i in range(5)}
+
+
+def test_simhash_overcap_star_pairs(spark):
+    from hora_spark.operators import dedup
+
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(300)]
+    rows += [(900, "an entirely different document about other topics")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_pairs(df, max_bucket=64).collect()
+    # identical fingerprints → star per band, distinct → 299 rows, hamming 0
+    star = [r for r in pairs if r["doc_a"] == 0]
+    assert len(star) == 299
+    assert all(r["hamming"] == 0 for r in star)
+    assert len(pairs) == len(star)  # the unique doc pairs with nobody
