@@ -164,19 +164,35 @@ def merge_shard_rows(
     compaction half of delete support; queries filter them exactly until
     then)."""
     is_norms = pdf["term"] == NORMS_TERM
+    norms_rows = pdf[is_norms]
     seg_rows = pdf[~is_norms]
     if not len(seg_rows):
         return _empty()
-    # dl rides with each posting (dl_blocks), so the input norms rows are
-    # not needed to reconstruct (doc, term, tf, dl) — encode_shard_rows
-    # regenerates the canonical norms row from the tuples (every live doc
-    # appears in ≥1 posting)
+    # per-posting dl comes from dl_blocks when present (final/canonical
+    # rows); PARTIAL rows ship without them to keep the shuffle lean, so
+    # their dl is reconstructed from the norms rows of the same shard
+    # (one (doc, dl) pair per doc — sorted lookup)
+    nids = ndls = None
+    if len(norms_rows):
+        ids_all, dls_all = [], []
+        for row in norms_rows.itertuples(index=False):
+            ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
+            dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
+        nids = np.concatenate(ids_all)
+        ndls = np.concatenate(dls_all)
+        order = np.argsort(nids, kind="mergesort")
+        nids, ndls = nids[order], ndls[order]
     ids_out, tfs_out, dls_out, lens = [], [], [], []
     for row in seg_rows.itertuples(index=False):
         ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
-        dls = np.concatenate(
-            [decode_block(bytes(b), delta=False) for b in row.dl_blocks]
-        ) if len(row.dl_blocks) else np.empty(0, np.int64)
+        if len(row.dl_blocks):
+            dls = np.concatenate(
+                [decode_block(bytes(b), delta=False) for b in row.dl_blocks]
+            )
+        else:
+            if nids is None:
+                raise ValueError("partial segment rows need norms rows for dl")
+            dls = ndls[np.searchsorted(nids, ids)]
         ids_out.append(ids)
         tfs_out.append(tfs)
         dls_out.append(dls)
@@ -246,10 +262,8 @@ def map_partial_segments(
             gap_max = np.maximum.reduceat(gaps, g_starts)
             tf_maxg = np.maximum.reduceat(counts, g_starts)
             dl_ming = np.minimum.reduceat(p_dl, g_starts)
-            dl_maxg = np.maximum.reduceat(p_dl, g_starts)
             dblocks = _pack_blocks(gaps, g_starts, g_ends, _width_of(gap_max))
             tblocks = _pack_blocks(counts, g_starts, g_ends, _width_of(tf_maxg))
-            dlblocks = _pack_blocks(p_dl, g_starts, g_ends, _width_of(dl_maxg))
             lasts = p_doc[g_ends - 1]
             ns = (g_ends - g_starts).astype(np.int64)
             rows = {
@@ -258,7 +272,14 @@ def map_partial_segments(
                 "df_local": ns,
                 "doc_blocks": [[b] for b in dblocks],
                 "tf_blocks": [[b] for b in tblocks],
-                "dl_blocks": [[b] for b in dlblocks],
+                # PARTIAL rows cross the build's one shuffle WITHOUT dl
+                # blocks: each shard's partial norms rows already carry one
+                # (doc, dl) pair per doc, so shipping dl per posting too
+                # would re-inflate the shuffle by ~1 byte/posting (measured
+                # as a visible hit at the bandwidth-bound high-core end).
+                # merge_shard_rows reconstructs per-posting dl from the
+                # norms rows; only FINAL segment rows store dl_blocks.
+                "dl_blocks": [[] for _ in range(len(ns))],
                 "block_last": [[int(x)] for x in lasts],
                 "block_n": [[int(x)] for x in ns],
                 "block_tf_max": [[int(x)] for x in tf_maxg],

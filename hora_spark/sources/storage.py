@@ -16,9 +16,15 @@ Layout (works on any Hadoop-compatible FS; local dir in the sandbox):
 
 A manifest maps table name → list of data dirs. Commits are atomic via
 write-temp + rename. `read(table, version)` gives time travel
-(`VERSION AS OF` semantics). If an Iceberg catalog is configured on the
-session, IcebergStore offers the same four methods over real Iceberg
-tables; the engine only talks to the abstract interface.
+(`VERSION AS OF` semantics).
+
+Iceberg mapping (not implemented here — the sandbox has no Iceberg runtime
+jars; this store IS the same shape): each logical table becomes a real
+Iceberg table (`write_table`/`commit` → `df.writeTo(t).append()` or
+`.overwritePartitions()`, one engine commit per Iceberg snapshot),
+`current_version`/`read(version=)` → Iceberg snapshot ids + `VERSION AS
+OF`, `meta` → table properties, `drop` → `DROP TABLE`. The engine only
+touches this class's six methods, so the swap is local to this file.
 """
 
 from __future__ import annotations
