@@ -301,6 +301,42 @@ def _q_knn_lsh(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact path (the oracle-checkable
+    tier; the LSH scale path is recall-floor-tested in pytest). The fixture
+    embeddings have no planted near-dups (max pairwise cosine ≈ 0.47), so
+    the 0.40 threshold exercises the operator on real pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.40, method="bruteforce"
+    ).select("vec_a", "vec_b", "cosine")
+
+
+def _q_knn_ivf(spark, sf_dir):
+    """IVF coarse-probe ANN (the IVFPQ shape) with a recall column vs the
+    exact brute force — approximate, so rows-only in the driver check."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.ivf_knn(emb, queries, k=10, n_lists=16, n_probe=6)
+    exact = similarity.bruteforce_knn(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("exact_vec_id")
+    )
+    rec = (
+        approx.join(F.broadcast(exact),
+                    (approx.query_id == exact.query_id)
+                    & (approx.vec_id == exact.exact_vec_id), "left")
+        .groupBy(approx.query_id.alias("qid"))
+        .agg(F.round(F.count("exact_vec_id") / F.lit(10.0), 6).alias("recall"))
+    )
+    return (
+        approx.join(F.broadcast(rec), approx.query_id == rec.qid)
+        .select("query_id", "vec_id", "sim", "recall")
+        .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
+    )
+
+
 def _q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.sqrt(F.aggregate(
@@ -403,6 +439,18 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_events_gap_sessions(spark, sf_dir):
+    """Batch twin of the stateful streaming sessionizer
+    (streaming/sessions.py — applyInPandasWithState): same gap semantics,
+    full session rows (start, end, counts, value)."""
+    from hora_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+
+
 # ------------------------------------------------------------- multimodal --
 
 def _q_multimodal_features(spark, sf_dir):
@@ -451,12 +499,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_angular": _mk_knn("angular"),
         "knn_lsh": _q_knn_lsh,                      # approximate → rows-only
+        "knn_ivf": _q_knn_ivf,                      # approximate → rows-only
+        "embedding_near_dups": _q_embedding_near_dups,
         "embedding_norms": _q_embedding_norms,
         # relational scaffolding
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_gap_sessions": _q_events_gap_sessions,
         "supplier_revenue": _q_supplier_revenue,
         "nation_order_stats": _q_nation_order_stats,
         "part_price_rank": _q_part_price_rank,
@@ -704,6 +755,13 @@ def oracle_sql() -> dict[str, str]:
                        FROM e CROSS JOIN q)
             SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.40""",
         "embedding_norms": """
             SELECT vec_id, label,
                    ROUND(sqrt(list_sum(list_transform(embedding,
@@ -762,6 +820,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
+        "events_gap_sessions": """
+            WITH g AS (SELECT user_id, event_id, ts, value,
+                              CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sno
+                  FROM g)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, ROUND(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, sno""",
     }
     # knn_lsh (approximate; carries its own recall-vs-bruteforce column) and
     # multimodal_features (binary plumbing) stay rows-only; everything else

@@ -193,3 +193,207 @@ def lsh_knn(
         .select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
     )
+
+
+def _cos_pairs_expr(a: str, b: str):
+    """Built-in-only cosine between two array<double> columns (JVM-side,
+    whole-stage codegen — keeps the verify join off the Python path)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / F.greatest(na * nb, F.lit(1e-30))
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
+    the dense-vector tier of the dedup family.
+
+    method='bruteforce': exact all-pairs — O(n²), the oracle/test path.
+    method='lsh': random-hyperplane band buckets → candidate pairs → exact
+    cosine verify — the scale path (recall < 1 by construction; floor
+    asserted in tests, mirroring the reference's recall harness
+    /root/reference/src/lib.rs:97-111). Over-cap buckets emit O(n) star
+    pairs against the bucket-min id, same skew guard as the text dedup.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    if method == "bruteforce":
+        a, b = e.alias("a"), e.alias("b")
+        joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        sim = _cos_pairs_expr("a.v", "b.v")
+        return (
+            joined.select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(sim, 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    # LSH candidates: same random-hyperplane tables as lsh_knn, self-joined
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    b_planes = spark.sparkContext.broadcast(planes)
+    sig_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def bucketize(batches):
+        pls = b_planes.value
+        pows = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _as_matrix(pdf["v"])
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            for t, P in enumerate(pls):
+                bits = (m @ P.T) > 0
+                yield pd.DataFrame({"vec_id": ids, "table": t,
+                                    "bucket": (bits @ pows).astype(np.int64)})
+
+    buckets = e.mapInPandas(bucketize, sig_schema)
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket"))
+    ).withColumn(
+        "bucket_min", F.min("vec_id").over(Window.partitionBy("table", "bucket"))
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket)
+    a, b = small.alias("a"), small.alias("b")
+    cand = (
+        a.join(b, (F.col("a.table") == F.col("b.table"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    star = (
+        sized.filter((F.col("bucket_n") > max_bucket)
+                     & (F.col("vec_id") != F.col("bucket_min")))
+        .select(F.col("bucket_min").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+    )
+    cand = cand.unionByName(star).distinct()
+    # exact verify on the candidate set only
+    av = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    bv = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(av, "vec_a").join(bv, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(_cos_pairs_expr("va", "vb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _kmeans_centroids(sample: np.ndarray, n_lists: int, seed: int,
+                      n_iter: int = 8) -> np.ndarray:
+    """Tiny seeded Lloyd's k-means on a driver-side sample — the coarse
+    quantizer of IVF (hora's k-means trainer,
+    /root/reference/src/index/pq_idx.rs:208-312, shrunk to the coarse
+    layer: the fine PQ codes are replaced by exact re-rank)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(n_lists, n)
+    cents = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cents[j] = sample[m].mean(0)
+    return cents
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """IVF approximate kNN — the coarse-probe shape of hora's IVFPQ
+    (/root/reference/src/index/pq_idx.rs:357-439): k-means lists trained on
+    a deterministic sample, every vector assigned to its nearest centroid,
+    queries probe the n_probe nearest lists, exact cosine re-rank on the
+    candidates. Recall < 1 by construction; floor asserted in tests."""
+    spark = corpus.sparkSession
+    samp_rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+                 .limit(sample_size).collect())
+    samp = np.array([np.asarray(r[vec_col], np.float64) for r in samp_rows])
+    samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-30)
+    cents = _kmeans_centroids(samp, n_lists, seed)
+    b_c = spark.sparkContext.broadcast(cents)
+
+    assign_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        C = b_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _as_matrix(pdf[vec_col])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(np.int64),
+                "list_id": d.argmin(1).astype(np.int32),
+            })
+
+    lists = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    # query → its n_probe nearest lists (driver-side: queries are few)
+    q_rows = queries.select("query_id", vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-30)
+        d = ((cents - qv) ** 2).sum(1)
+        for lid in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(r["query_id"]), int(lid)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+
+    cands = (
+        lists.join(F.broadcast(probes), "list_id")
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv_df = queries.select("query_id", F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    pairs = cands.join(F.broadcast(qv_df), "query_id").join(cv, "vec_id")
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _as_matrix(a), _as_matrix(b)
+        ma = ma / np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-30)
+        mb = mb / np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-30)
+        return pd.Series((ma * mb).sum(axis=1))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("sim", cos(F.col("qvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"))
+        .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
+    )

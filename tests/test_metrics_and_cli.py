@@ -121,3 +121,64 @@ def test_partial_topk_matches_unbatched(spark):
     want_ids = [6 + 7 * j for j in range(12)]
     assert [r["vec_id"] for r in got] == want_ids
     assert all(r["sim"] == 6.0 for r in got)
+
+
+def _clustered_vectors(spark, n_clusters=25, per_cluster=8, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.standard_normal(dim) * 0.05
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_near_dup_bruteforce_and_lsh(spark):
+    """Planted near-identical vectors: the exact path finds every planted
+    pair; the LSH scale path reaches a recall floor against it (the dense
+    tier of the dedup family)."""
+    df = _clustered_vectors(spark, n_clusters=20, per_cluster=2)
+    exact = similarity.embedding_near_dup_pairs(df, threshold=0.999, method="bruteforce")
+    exact_pairs = {(r["vec_a"], r["vec_b"]) for r in exact.collect()}
+    # every planted twin pair is found (cos of center±tiny noise ≈ 1)
+    assert exact_pairs == {(2 * c, 2 * c + 1) for c in range(20)}
+
+    lsh = similarity.embedding_near_dup_pairs(
+        df, threshold=0.999, method="lsh", n_planes=8, n_tables=8)
+    lsh_pairs = {(r["vec_a"], r["vec_b"]) for r in lsh.collect()}
+    assert lsh_pairs <= exact_pairs          # verify step: no false positives
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH near-dup recall {recall}"
+
+
+def test_embedding_near_dup_overcap_star(spark):
+    """An over-cap bucket (one big identical class) emits O(n) star pairs."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=0.99, method="lsh", max_bucket=50).collect()
+    assert len(pairs) == 199
+    assert {r["vec_a"] for r in pairs} == {0}
+
+
+def test_ivf_knn_recall_floor(spark):
+    """IVF coarse-probe recall vs exact brute force (the asserted version
+    of the reference's recall harness, lib.rs:53-113, for the IVFPQ shape
+    pq_idx.rs:357-439)."""
+    df = _clustered_vectors(spark, n_clusters=25, per_cluster=8)
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.bruteforce_knn(df, queries, k=5)
+    approx = similarity.ivf_knn(df, queries, k=5, n_lists=25, n_probe=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.8, f"IVF recall {hits}/{total}"
