@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--index", required=True)
     rb.add_argument("--build-id", default="rebuild-cli")
 
+    x = sub.add_parser("expire", help="expire old snapshots and GC unreferenced data dirs")
+    x.add_argument("--index", required=True)
+    x.add_argument("--keep-last", type=int, default=2)
+
     g = sub.add_parser("datagen", help="deterministic synthetic transcripts")
     g.add_argument("--out", required=True)
     g.add_argument("--convs", type=int, default=10000)
@@ -106,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "rebuild":
         eng = Engine(spark, args.index)
         print(json.dumps(eng.rebuild(build_id=args.build_id)))
+    elif args.cmd == "expire":
+        eng = Engine(spark, args.index)
+        print(json.dumps(eng.store.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "datagen":
         from hora_spark.datagen import write_transcripts
         write_transcripts(spark, args.out, args.convs, seed=args.seed)

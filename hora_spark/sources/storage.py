@@ -136,3 +136,35 @@ class SnapshotStore:
         shutil.rmtree(self.root, ignore_errors=True)
         os.makedirs(os.path.join(self.root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg `expire_snapshots` analog: keep only the newest
+        `keep_last` manifests and delete every data dir no kept snapshot
+        references. Time travel to expired versions stops working (like
+        Iceberg); the CURRENT snapshot is never touched. Returns counts."""
+        cur = self.current_version()
+        keep_versions = [v for v in range(max(1, cur - keep_last + 1), cur + 1)]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            for dirs in self._manifest(v)["tables"].values():
+                referenced.update(dirs)
+        removed_dirs = 0
+        data_root = os.path.join(self.root, "data")
+        for table in os.listdir(data_root):
+            tdir = os.path.join(data_root, table)
+            for d in os.listdir(tdir):
+                full = os.path.join(tdir, d)
+                if full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed_dirs += 1
+        removed_manifests = 0
+        snap_dir = os.path.join(self.root, "snapshots")
+        for f in os.listdir(snap_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                v = int(f[1:-5])
+                if v not in keep_versions:
+                    os.remove(os.path.join(snap_dir, f))
+                    removed_manifests += 1
+        return {"kept_versions": keep_versions,
+                "removed_dirs": removed_dirs,
+                "removed_manifests": removed_manifests}

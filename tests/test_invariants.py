@@ -145,3 +145,36 @@ def test_time_travel_versions(spark, transcripts, tmp_path):
     ]
     assert before == after
     shutil.rmtree(p, ignore_errors=True)
+
+
+def test_expire_snapshots_gc(spark, transcripts, tmp_path):
+    """expire_snapshots removes unreferenced data dirs and old manifests;
+    the current snapshot keeps answering queries identically."""
+    import os
+
+    p = str(tmp_path / "gc")
+    eng = Engine(spark, p, CFG)
+    eng.build(transcripts, id_col=None, order_cols=["conv_id", "turn_idx"])
+    before = [(r["doc_id"], r["score"]) for r in eng.search(QUERIES[0], k=10).collect()]
+    # several extra versions → garbage from replaced tables
+    eng.rebuild(build_id="r1")
+    eng.rebuild(build_id="r2")
+    after_rebuilds = [(r["doc_id"], r["score"]) for r in eng.search(QUERIES[0], k=10).collect()]
+
+    out = eng.store.expire_snapshots(keep_last=2)
+    assert out["removed_dirs"] > 0 and out["removed_manifests"] > 0
+    got = [(r["doc_id"], r["score"]) for r in eng.search(QUERIES[0], k=10).collect()]
+    assert got == after_rebuilds == before
+    # expired version unreadable (like Iceberg time travel past expiry)
+    with pytest.raises(FileNotFoundError):
+        eng.store._manifest(1)
+    # no orphan data dirs left: every remaining dir is referenced
+    data_root = os.path.join(p, "data")
+    referenced = set()
+    for v in out["kept_versions"]:
+        for dirs in eng.store._manifest(v)["tables"].values():
+            referenced.update(dirs)
+    for table in os.listdir(data_root):
+        for d in os.listdir(os.path.join(data_root, table)):
+            assert os.path.join(data_root, table, d) in referenced
+    shutil.rmtree(p, ignore_errors=True)
