@@ -454,10 +454,13 @@ def _q_events_gap_sessions(spark, sf_dir):
 # ------------------------------------------------------------- multimodal --
 
 def _q_multimodal_features(spark, sf_dir):
+    """REAL decode since round 2 (pure-numpy PPM/WAV/VID0 parsers): every
+    synthesized payload must parse (decode_ok) and yield deterministic
+    features. Rows-only (DuckDB has no media decode)."""
     media = multimodal.synth_media(spark, n=60)
     feats = multimodal.extract_features(media)
     return feats.select(
-        "media_id", "kind", "n_bytes",
+        "media_id", "kind", "n_bytes", "decode_ok",
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
     )
 

@@ -169,13 +169,13 @@ def test_fingerprint_stability(spark):
 
 # --------------------------------------------------------------- multimodal --
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
     media = multimodal.synth_media(spark, n=30)
     feats = multimodal.extract_features(media).collect()
     assert len(feats) == 30
+    assert all(r["decode_ok"] for r in feats)      # every payload parses
     for r in feats:
         assert len(r["features"]) == multimodal.FEATURE_DIM
-        assert all(0.0 <= v < 1.0 for v in r["features"])
     # determinism: same payload → same features
     feats2 = multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()
     assert sorted((r["media_id"], tuple(r["features"])) for r in feats) == \
@@ -185,10 +185,49 @@ def test_multimodal_plumbing(spark):
     assert len({r["media_id"] for r in plan}) == 10  # every 3rd is video
 
 
-def test_real_decoder_gated(spark):
-    if not multimodal.decode_available():
-        with pytest.raises(NotImplementedError):
-            multimodal._real_decode(b"x", "image")
+def test_codec_pins():
+    """Hand-computed decode values: a 2×1 PPM and a constant WAV."""
+    import numpy as np
+
+    px = np.array([[[10, 20, 30], [50, 60, 70]]], dtype=np.uint8)  # (1,2,3)
+    back = multimodal.decode_ppm(multimodal.encode_ppm(px))
+    assert (back == px).all()
+    f = multimodal._image_features(back)
+    assert (f[0], f[1]) == (2, 1)
+    assert tuple(f[2:5]) == (30.0, 40.0, 50.0)     # per-channel means
+    assert f[9] == 40.0                            # |Δ| horizontal = 40 each ch
+
+    samples = np.full(8000, 16384, dtype=np.int16)  # constant 0.5 amplitude
+    dec, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 8000))
+    assert rate == 8000 and len(dec) == 8000
+    af = multimodal._audio_features(dec, rate)
+    assert abs(af[2] - 0.5) < 1e-9                 # RMS of a constant 0.5
+    assert af[3] == 0.0                            # no zero crossings
+
+    frames = [px, px * 2]
+    vid = multimodal.encode_video(frames)
+    got = list(multimodal.decode_video_frames(vid, every=2))
+    assert len(got) == 1 and got[0][0] == 0        # only frame 0 decoded
+
+
+def test_multimodal_corrupt_payload_counted_not_fatal(spark):
+    rows = [(0, "image", bytearray(b"junk bytes"), "image/x", 1, 1, None),
+            (1, "audio", bytearray(b"RIFFxxxx"), "audio/wav", None, None, 10)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["decode_ok"] for r in multimodal.extract_features(df).collect()}
+    assert got == {0: False, 1: False}
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    media = multimodal.synth_media(spark, n=30)
+    resized = multimodal.resize_images(media, out_w=4, out_h=4).collect()
+    assert len(resized) == 10                      # every 3rd is an image
+    for r in resized:
+        px = multimodal.decode_ppm(bytes(r["payload"]))
+        assert px.shape == (4, 4, 3)
+    fs = multimodal.frame_sample_features(media, every=2).collect()
+    assert len(fs) > 0
+    assert all(r["frame_idx"] % 2 == 0 for r in fs)  # only sampled frames
 
 
 def test_lsh_overcap_buckets_become_star_pairs(spark):
