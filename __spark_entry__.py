@@ -275,30 +275,32 @@ def _mk_knn(metric: str):
     return run
 
 
-def _q_knn_lsh(spark, sf_dir):
-    """Approximate LSH kNN with a per-query recall column vs the exact
-    brute force (the reference's accuracy harness, lib.rs:97-111, as a
+def _with_recall(approx, exact, k: int):
+    """Annotate approximate kNN rows with a per-query recall-vs-exact
+    column (the reference's accuracy harness, lib.rs:97-111, as a
     driver-visible number instead of a printout)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    approx = similarity.lsh_knn(emb, queries, k=10, n_planes=6, n_tables=6)
-    exact = similarity.bruteforce_knn(emb, queries, k=10).select(
-        "query_id", F.col("vec_id").alias("exact_vec_id")
-    )
+    ex = exact.select("query_id", F.col("vec_id").alias("exact_vec_id"))
     rec = (
-        approx.join(F.broadcast(exact),
-                    (approx.query_id == exact.query_id)
-                    & (approx.vec_id == exact.exact_vec_id), "left")
+        approx.join(F.broadcast(ex),
+                    (approx.query_id == ex.query_id)
+                    & (approx.vec_id == ex.exact_vec_id), "left")
         .groupBy(approx.query_id.alias("qid"))
-        .agg(F.round(F.count("exact_vec_id") / F.lit(10.0), 6).alias("recall"))
+        .agg(F.round(F.count("exact_vec_id") / F.lit(float(k)), 6).alias("recall"))
     )
     return (
         approx.join(F.broadcast(rec), approx.query_id == rec.qid)
         .select("query_id", "vec_id", "sim", "recall")
         .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
     )
+
+
+def _q_knn_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.lsh_knn(emb, queries, k=10, n_planes=6, n_tables=6)
+    return _with_recall(approx, similarity.bruteforce_knn(emb, queries, k=10), k=10)
 
 
 def _q_embedding_near_dups(spark, sf_dir):
@@ -320,21 +322,7 @@ def _q_knn_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     approx = similarity.ivf_knn(emb, queries, k=10, n_lists=16, n_probe=6)
-    exact = similarity.bruteforce_knn(emb, queries, k=10).select(
-        "query_id", F.col("vec_id").alias("exact_vec_id")
-    )
-    rec = (
-        approx.join(F.broadcast(exact),
-                    (approx.query_id == exact.query_id)
-                    & (approx.vec_id == exact.exact_vec_id), "left")
-        .groupBy(approx.query_id.alias("qid"))
-        .agg(F.round(F.count("exact_vec_id") / F.lit(10.0), 6).alias("recall"))
-    )
-    return (
-        approx.join(F.broadcast(rec), approx.query_id == rec.qid)
-        .select("query_id", "vec_id", "sim", "recall")
-        .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
-    )
+    return _with_recall(approx, similarity.bruteforce_knn(emb, queries, k=10), k=10)
 
 
 def _q_embedding_norms(spark, sf_dir):

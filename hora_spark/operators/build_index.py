@@ -68,9 +68,20 @@ LINEAGE_COLS = [
 _encode_shard = encode_shard_rows
 
 
-def _has_parquet(d: str) -> bool:
-    for root, _dirs, files in os.walk(d):
-        if any(f.endswith(".parquet") for f in files):
+def _has_parquet(spark: SparkSession, d: str) -> bool:
+    """True if the dir contains any parquet file — via the Hadoop
+    FileSystem API so the check works on HDFS/S3 like the rest of the
+    metadata pass (an os.walk here would see nothing on a remote FS and
+    silently commit an empty index)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)  # recursive
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
             return True
     return False
 
@@ -111,7 +122,7 @@ def _commit_stats_and_lineage(
     by column projection): corpus stats + term idf table + lineage."""
     seg_meta = None
     for d in seg_dirs:
-        if not _has_parquet(d):
+        if not _has_parquet(spark, d):
             # an empty/all-empty-text corpus writes only _SUCCESS — reading
             # it would fail schema inference
             continue

@@ -117,25 +117,35 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 → (float64 samples in [-1, 1], sample_rate).
-    Walks chunks properly (tolerates extra chunks before data)."""
+    """RIFF/WAVE PCM16 → (float64 mono samples in [-1, 1], sample_rate).
+    Walks chunks properly (tolerates extra chunks before data). Multi-
+    channel input is downmixed by mean; non-16-bit or non-PCM raises
+    (→ decode_ok=False) instead of silently mis-reading the frames."""
     buf = bytes(payload)
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, data = 12, None, None
+    pos, rate, n_ch, data_raw = 12, None, None, None
     while pos + 8 <= len(buf):
         cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt_tag, _ch, rate = struct.unpack("<HHI", body[:8])
+            fmt_tag, n_ch, rate, _brate, _align, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt_tag != 1:
                 raise ValueError("only PCM wav supported")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported (got {bits})")
+            if n_ch < 1:
+                raise ValueError("invalid channel count")
         elif cid == b"data":
-            data = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32768.0
+            data_raw = body
         pos += 8 + size + (size & 1)
-    if rate is None or data is None:
+    if rate is None or data_raw is None:
         raise ValueError("missing fmt/data chunk")
-    return data, rate
+    samples = np.frombuffer(data_raw, dtype="<i2").astype(np.float64) / 32768.0
+    if n_ch > 1:
+        n_frames = len(samples) // n_ch
+        samples = samples[: n_frames * n_ch].reshape(n_frames, n_ch).mean(axis=1)
+    return samples, rate
 
 
 def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
@@ -217,7 +227,7 @@ def _decode_features(payload, kind: str) -> tuple[np.ndarray, bool]:
         return np.zeros(FEATURE_DIM), False
 
 
-def extract_features(df: DataFrame, use_real_decoder: bool | None = None) -> DataFrame:
+def extract_features(df: DataFrame) -> DataFrame:
     """media table → (media_id, kind, n_bytes, decode_ok, features).
 
     Narrow op (no shuffle): payload is consumed inside the batch iterator
@@ -301,13 +311,21 @@ def frame_sample_features(df: DataFrame, every: int = 2) -> DataFrame:
                 continue
             mids, idxs, feats = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                # buffer per video: a mid-stream parse failure drops the
+                # WHOLE video's rows — partial frame sets would look like a
+                # complete sample of a shorter video
+                v_idx, v_feat = [], []
                 try:
                     for idx, px in decode_video_frames(p, every=every):
-                        mids.append(mid)
-                        idxs.append(idx)
-                        feats.append(np.round(_image_features(px), 6).tolist())
+                        v_idx.append(idx)
+                        v_feat.append(np.round(_image_features(px), 6).tolist())
                 except (ValueError, struct.error, IndexError):
                     continue
+                mids.extend([mid] * len(v_idx))
+                idxs.extend(v_idx)
+                feats.extend(v_feat)
+            if not mids:  # all-corrupt batch: an empty float64 column
+                continue  # would fail the Arrow list<double> conversion
             yield pd.DataFrame({
                 "media_id": pd.Series(mids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),

@@ -151,12 +151,7 @@ def search_topk(
     # collected to a sorted array and broadcast — the deleted set is tiny
     # relative to the corpus (physical removal happens at compaction); the
     # filter is exact (hora's has_deletion check, hnsw_idx.rs:235-237)
-    deleted = None
-    if store.exists("deletes", version):
-        d_rows = store.read("deletes", version).select("doc_id").collect()
-        if d_rows:
-            deleted = np.unique(np.array([r["doc_id"] for r in d_rows], np.int64))
-    b_del = spark.sparkContext.broadcast(deleted)
+    b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
 
     segs = (
         store.read("segments", version)

@@ -131,6 +131,18 @@ class SnapshotStore:
         v = self.current_version() if version is None else version
         return self._manifest(v).get("meta", {})
 
+    def deleted_ids(self, version: int | None = None):
+        """Sorted int64 array of tombstoned doc ids at `version`, or None.
+        Shared by the query path and compaction/rebuild."""
+        import numpy as np
+
+        if not self.exists("deletes", version):
+            return None
+        rows = self.read("deletes", version).select("doc_id").collect()
+        if not rows:
+            return None
+        return np.unique(np.array([r["doc_id"] for r in rows], np.int64))
+
     def drop(self) -> None:
         """clear() analog (/root/reference/src/core/ann_index.rs:110)."""
         shutil.rmtree(self.root, ignore_errors=True)
@@ -141,9 +153,19 @@ class SnapshotStore:
         """Iceberg `expire_snapshots` analog: keep only the newest
         `keep_last` manifests and delete every data dir no kept snapshot
         references. Time travel to expired versions stops working (like
-        Iceberg); the CURRENT snapshot is never touched. Returns counts."""
+        Iceberg); the CURRENT snapshot is never touched. Returns counts.
+
+        Maintenance op: like Iceberg's orphan-file cleanup, run it while no
+        writer is mid-commit — a dir staged but not yet committed is not
+        referenced by any manifest and would be collected."""
         cur = self.current_version()
-        keep_versions = [v for v in range(max(1, cur - keep_last + 1), cur + 1)]
+        snap_dir_p = os.path.join(self.root, "snapshots")
+        keep_versions = [
+            v for v in range(max(1, cur - keep_last + 1), cur + 1)
+            # a previous expire may already have removed manifests inside
+            # the window — keep only the ones still on disk
+            if os.path.exists(os.path.join(snap_dir_p, f"v{v:08d}.json"))
+        ]
         referenced: set[str] = set()
         for v in keep_versions:
             for dirs in self._manifest(v)["tables"].values():

@@ -118,16 +118,22 @@ def append_build(
     return {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}
 
 
-def _deleted_array(store: SnapshotStore):
-    """Sorted tombstoned doc ids from the deletes table, or None."""
-    import numpy as np
-
-    if not store.exists("deletes"):
-        return None
-    rows = store.read("deletes").select("doc_id").collect()
-    if not rows:
-        return None
-    return np.unique(np.array([r["doc_id"] for r in rows], np.int64))
+def _compact_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig) -> str:
+    """Shared compaction step (used by merge_segments AND rebuild): decode
+    every (shard, term) row set, physically drop tombstoned docs, re-encode
+    canonically, commit the replaced segments table (deletes table cleared).
+    Returns the new segments dir."""
+    deleted = store.deleted_ids()
+    b_del = spark.sparkContext.broadcast(deleted)
+    segs = store.read("segments")
+    merged = segs.groupBy("shard_id").applyInPandas(
+        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size, deleted=b_del.value),
+        SEGMENT_SCHEMA,
+    )
+    d_seg = store.stage_dir("segments")
+    merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
+    store.commit({"segments": [d_seg]}, replace=True, drop=["deletes"])
+    return d_seg
 
 
 def delete_docs(spark: SparkSession, store: SnapshotStore, doc_ids) -> dict:
@@ -154,16 +160,8 @@ def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig 
     `rebuild` refreshes N/avgdl/df and makes appended novel-vocabulary
     terms searchable."""
     cfg = cfg or EngineConfig()
-    deleted = _deleted_array(store)
-    b_del = spark.sparkContext.broadcast(deleted)
-    segs = store.read("segments")
-    merged = segs.groupBy("shard_id").applyInPandas(
-        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size, deleted=b_del.value),
-        SEGMENT_SCHEMA,
-    )
-    d_seg = store.stage_dir("segments")
-    merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
-    return store.commit({"segments": [d_seg]}, replace=True, drop=["deletes"])
+    _compact_segments(spark, store, cfg)
+    return store.current_version()
 
 
 def rebuild(
@@ -188,16 +186,7 @@ def rebuild(
     cfg = cfg or EngineConfig()
     meta = store.meta()
     t0 = time.perf_counter()
-    deleted = _deleted_array(store)
-    b_del = spark.sparkContext.broadcast(deleted)
-    segs = store.read("segments")
-    merged = segs.groupBy("shard_id").applyInPandas(
-        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size, deleted=b_del.value),
-        SEGMENT_SCHEMA,
-    )
-    d_seg = store.stage_dir("segments")
-    merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
-    store.commit({"segments": [d_seg]}, replace=True, drop=["deletes"])
+    d_seg = _compact_segments(spark, store, cfg)
     # stats + lineage recomputed in full over the compacted segment set —
     # the same metadata pass the build uses (blob columns pruned)
     passthrough = {

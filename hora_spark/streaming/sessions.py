@@ -52,7 +52,10 @@ def _sessions_df(user_id: int, rows: list[tuple[int, int, int, float]]) -> pd.Da
         "session_start": pd.to_datetime([r[0] for r in rows], unit="ms"),
         "session_end": pd.to_datetime([r[1] for r in rows], unit="ms"),
         "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
-        "total_value": pd.Series([r[3] for r in rows], dtype="float64"),
+        # round ONCE at emit (matching the batch twin's single round) —
+        # rounding the running total per micro-batch would accumulate error
+        # on sessions spanning many batches
+        "total_value": pd.Series([round(r[3], 6) for r in rows], dtype="float64"),
     })
 
 
@@ -92,7 +95,7 @@ def _make_fn(gap_ms: int):
             last_ms = t
             n += 1
             total += v
-        state.update((start_ms, last_ms, n, round(total, 6)))
+        state.update((start_ms, last_ms, n, total))
         # event-time timeout: fires when the WATERMARK passes the point at
         # which the open session can no longer be extended
         state.setTimeoutTimestamp(last_ms + gap_ms)

@@ -276,3 +276,49 @@ def test_simhash_overcap_star_pairs(spark):
     assert len(star) == 299
     assert all(r["hamming"] == 0 for r in star)
     assert len(pairs) == len(star)  # the unique doc pairs with nobody
+
+
+def test_wav_stereo_and_bit_depth_handling():
+    """Stereo PCM16 downmixes to mono (mean); non-16-bit raises (→ counted
+    as decode failure) instead of silently mis-reading frames."""
+    import struct
+
+    import numpy as np
+
+    # hand-built stereo WAV: L = +0.5, R = -0.5 → downmix exactly 0
+    l = np.full(100, 16384, dtype="<i2")
+    r = np.full(100, -16384, dtype="<i2")
+    inter = np.empty(200, dtype="<i2")
+    inter[0::2], inter[1::2] = l, r
+    data = inter.tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+                      b"fmt ", 16, 1, 2, 8000, 8000 * 4, 4, 16,
+                      b"data", len(data))
+    samples, rate = multimodal.decode_wav(hdr + data)
+    assert rate == 8000 and len(samples) == 100
+    assert np.abs(samples).max() == 0.0            # perfect cancellation
+
+    # 8-bit PCM → ValueError (decode_ok=False path), never garbage features
+    hdr8 = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + 4, b"WAVE",
+                       b"fmt ", 16, 1, 1, 8000, 8000, 1, 8, b"data", 4)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(hdr8 + b"\x00\x01\x02\x03")
+
+
+def test_frame_sampling_drops_whole_corrupt_video(spark):
+    """A truncated mid-stream frame drops the WHOLE video's rows — partial
+    frame sets must not masquerade as a complete sample."""
+    import struct
+
+    import numpy as np
+
+    good = [np.full((2, 2, 3), 9, dtype=np.uint8) for _ in range(3)]
+    ok_payload = multimodal.encode_video(good)
+    bad_payload = bytearray(ok_payload)
+    # truncate the last frame's bytes: frame 0 would decode fine
+    bad_payload = bytes(bad_payload[:-10])
+    rows = [(0, "video", bytearray(ok_payload), "video/x-vid0", 2, 2, 3000),
+            (1, "video", bytearray(bad_payload), "video/x-vid0", 2, 2, 3000)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    fs = multimodal.frame_sample_features(df, every=2).collect()
+    assert {r["media_id"] for r in fs} == {0}
