@@ -74,3 +74,43 @@ def test_varint_known_bytes():
     assert varint_encode(np.array([0], np.uint64)) == b"\x00"
     assert varint_encode(np.array([127], np.uint64)) == b"\x7f"
     assert varint_encode(np.array([128], np.uint64)) == b"\x80\x01"
+
+
+def test_merge_with_deletes_equals_filtered_encode():
+    """Property: merge_shard_rows(rows, deleted=D) must equal
+    encode_shard_rows over the tuples with D's docs removed — physical
+    delete-at-compaction is just a filter on the logical content."""
+    import numpy as np
+    import pandas as pd
+
+    from hora_spark.operators.segments import encode_shard_rows, merge_shard_rows
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n_docs = int(rng.integers(20, 120))
+        doc_dl = {d: int(rng.integers(1, 40)) for d in range(n_docs)}
+        rows = []
+        for t in range(int(rng.integers(3, 12))):
+            docs = np.sort(rng.choice(n_docs, size=int(rng.integers(1, n_docs)), replace=False))
+            for d in docs:
+                rows.append((0, int(d), doc_dl[d], f"t{t}", int(rng.integers(1, 9))))
+        pdf = pd.DataFrame(rows, columns=["shard_id", "doc_id", "dl", "term", "tf"])
+        full = encode_shard_rows(pdf, block_size=8)
+
+        deleted = np.unique(rng.choice(n_docs, size=max(1, n_docs // 4), replace=False)).astype(np.int64)
+        merged = merge_shard_rows(full, block_size=8, deleted=deleted)
+        want = encode_shard_rows(pdf[~pdf["doc_id"].isin(deleted)].copy(), block_size=8)
+
+        def canon(df):
+            df = df.drop(columns=["encode_us"])
+            return sorted(
+                (r.term,
+                 tuple(bytes(b) for b in r.doc_blocks),
+                 tuple(bytes(b) for b in r.tf_blocks),
+                 tuple(bytes(b) for b in r.dl_blocks),
+                 tuple(r.block_last), tuple(r.block_n),
+                 tuple(r.block_tf_max), tuple(r.block_dl_min))
+                for r in df.itertuples(index=False)
+            )
+
+        assert canon(merged) == canon(want), f"trial {trial}"

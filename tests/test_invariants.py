@@ -177,4 +177,9 @@ def test_expire_snapshots_gc(spark, transcripts, tmp_path):
     for table in os.listdir(data_root):
         for d in os.listdir(os.path.join(data_root, table)):
             assert os.path.join(data_root, table, d) in referenced
+    # re-expire with a LARGER window than manifests remaining must not
+    # crash (regression: keep window assumed every version still on disk)
+    out2 = eng.store.expire_snapshots(keep_last=10)
+    assert out2["removed_dirs"] == 0
+    assert eng.search(QUERIES[0], k=10).count() == 10
     shutil.rmtree(p, ignore_errors=True)
