@@ -280,9 +280,11 @@ Arrow, parquet) therefore has a hardware efficiency ceiling of ~0.85 at
 1→4, ~0.67 at 2→8 and ~0.45 at 8→32 ON THIS BOX — ceilings no code can
 exceed. Real N→4N EXECUTORS each bring their own memory bus, so the honest
 stand-in for executor scaling is the widest pair still under the bus
-ceiling: 1→4 cores. Measured diagnostics on the same fixture: 2→8 ≈ 0.67
-and 8→32 ≈ 0.36 efficiency — tracking the probe's bandwidth curve, i.e.
-the residual is the shared bus, not an engine serial section (the engine
+ceiling: 1→4 cores. Measured diagnostics on a 1.25M-turn fixture (best
+of warm repeats; walls 430.8 / 204.3 / 107.0 / 60.2 / 38.1 s at
+1/2/4/8/32 cores): 2→8 ≈ 0.85 (dipping to 0.67 in contended windows) and
+8→32 ≈ 0.40 efficiency — tracking the probe's bandwidth curve, i.e. the
+residual is the shared bus, not an engine serial section (the engine
 exceeds the 1→4 copy-bandwidth ceiling because tokenization is
 compute-bound).
 
