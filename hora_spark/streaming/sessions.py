@@ -85,14 +85,24 @@ def _make_fn(gap_ms: int):
         if state.exists:
             start_ms, last_ms, n, total = state.get
         else:
-            start_ms, last_ms, n, total = int(ts[0]), int(ts[0]) - 1, 0, 0.0
+            start_ms, last_ms, n, total = 0, 0, 0, 0.0
 
         closed: list[tuple[int, int, int, float]] = []
         for t, v in zip(ts.tolist(), val.tolist()):
-            if n > 0 and t - last_ms > gap_ms:
+            if n == 0:
+                start_ms, last_ms = t, t
+            elif t - last_ms > gap_ms:
                 closed.append((start_ms, last_ms, n, total))
-                start_ms, n, total = t, 0, 0.0
-            last_ms = t
+                start_ms, last_ms, n, total = t, t, 0, 0.0
+            else:
+                # out-of-order events (late but above the watermark) may
+                # arrive in a later micro-batch with t < the checkpointed
+                # last_ms: they join the open session but must never REWIND
+                # it — last_ms only grows (keeps the event-time timeout and
+                # subsequent gap checks monotone) and session_start only
+                # shrinks (matching the batch twin's min(ts))
+                start_ms = min(start_ms, t)
+                last_ms = max(last_ms, t)
             n += 1
             total += v
         state.update((start_ms, last_ms, n, total))
