@@ -6,11 +6,13 @@ entry(spark)   — flagship: build the inverted index over sf0.001 documents
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data pipeline ops); each (spark, sf_dir) →
                  DataFrame.
-oracle_sql()   — DuckDB-equivalent SQL per query. Portable hashing (md5)
-                 and pinned float rounding (6dp) keep both engines
-                 value-identical. Approximate operators (LSH kNN, WAND
-                 internals) that are not SQL-expressible are exercised by
-                 pytest instead and get rows-only checks here.
+oracle_sql()   — DuckDB-equivalent SQL per query (EVERY query since round
+                 3 — 43/43). Portable hashing (md5) and pinned float
+                 rounding (6dp) keep both engines value-identical. The
+                 approximate ANN paths are seeded-deterministic, so their
+                 candidate sets are re-derived in SQL from literals;
+                 multimodal decode is checked against a committed
+                 local-decode fixture.
 
 All floats are rounded to 6dp on BOTH sides; every computed column is
 aliased identically on both sides.
@@ -316,7 +318,8 @@ def _q_embedding_near_dups(spark, sf_dir):
 
 def _q_knn_ivf(spark, sf_dir):
     """IVF coarse-probe ANN (the IVFPQ shape) with a recall column vs the
-    exact brute force — approximate, so rows-only in the driver check."""
+    exact brute force; seeded-deterministic, so hash-checked against a SQL
+    re-derivation of the same candidate set (centroid literals)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -444,7 +447,8 @@ def _q_events_gap_sessions(spark, sf_dir):
 def _q_multimodal_features(spark, sf_dir):
     """REAL decode since round 2 (pure-numpy PPM/WAV/VID0 parsers): every
     synthesized payload must parse (decode_ok) and yield deterministic
-    features. Rows-only (DuckDB has no media decode)."""
+    features. Hash-checked since round 3 against the committed local-decode
+    fixture (tools/make_multimodal_fixture.py)."""
     media = multimodal.synth_media(spark, n=60)
     feats = multimodal.extract_features(media)
     return feats.select(
@@ -489,8 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_angular": _mk_knn("angular"),
-        "knn_lsh": _q_knn_lsh,                      # approximate → rows-only
-        "knn_ivf": _q_knn_ivf,                      # approximate → rows-only
+        "knn_lsh": _q_knn_lsh,      # approximate, but seeded → hash-checked
+        "knn_ivf": _q_knn_ivf,      # approximate, but seeded → hash-checked
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_norms": _q_embedding_norms,
         # relational scaffolding
@@ -502,7 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_revenue": _q_supplier_revenue,
         "nation_order_stats": _q_nation_order_stats,
         "part_price_rank": _q_part_price_rank,
-        # multimodal plumbing (synthetic, deterministic) → rows-only
+        # multimodal plumbing (synthetic, deterministic) → hash-checked
+        # against the committed local-decode fixture
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -587,6 +592,102 @@ s AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
 """
 
 
+# ---- approximate-kNN oracles (hard signal for the seeded-deterministic
+# LSH and IVF paths) -------------------------------------------------------
+#
+# Both operators are seeded and deterministic (similarity.py: fixed
+# hyperplane seeds; k-means on a sorted-prefix sample), so DuckDB can
+# re-derive the SAME candidate sets from literals and re-rank them exactly
+# — this upgrades knn_lsh/knn_ivf from rows-only to hash-checked, mirroring
+# the reference making brute force the baseline for every index
+# (/root/reference/src/lib.rs:89-101). DuckDB parses bare numeric literals
+# as DECIMAL (precision loss in the last digit), so vectors are shipped as
+# repr() strings and CAST per element — bit-exact float64 round-trip.
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+
+
+def _vec_sql(v) -> str:
+    s = " ".join(repr(float(x)) for x in v)
+    return f"list_transform(string_split('{s}', ' '), z -> CAST(z AS DOUBLE))"
+
+
+_KNN_RERANK_SQL = """
+scored AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(e.v, q.qv) AS s
+           FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+approx AS (SELECT query_id, vec_id, s FROM scored
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10),
+exact AS (SELECT query_id, e.vec_id, list_cosine_similarity(e.v, qv) AS s
+          FROM e CROSS JOIN q
+          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10),
+rec AS (SELECT a.query_id, ROUND(count(x.vec_id) / 10.0, 6) AS recall
+        FROM approx a LEFT JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        GROUP BY a.query_id)
+SELECT a.query_id, a.vec_id, ROUND(a.s, 6) + 0 AS sim, recall
+FROM approx a JOIN rec USING (query_id)
+"""
+
+
+def _knn_lsh_sql(n_planes: int = 6, n_tables: int = 6, dim: int = 64) -> str:
+    """Twin of _q_knn_lsh: the hyperplanes are data-independent (seeded
+    numpy), embedded as literals; buckets, candidates, exact cosine re-rank
+    and the recall-vs-bruteforce column all re-derived in SQL."""
+    planes = [similarity._hyperplanes(dim, n_planes, 42 + t) for t in range(n_tables)]
+    pv = ",\n".join(
+        f"({t}, {i}, {_vec_sql(p)})"
+        for t, P in enumerate(planes) for i, p in enumerate(P)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+planes(tbl, bit, p) AS (VALUES {pv}),
+cb AS (SELECT e.vec_id, tbl,
+              CAST(sum(CASE WHEN list_dot_product(v, p) > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+       FROM e CROSS JOIN planes GROUP BY e.vec_id, tbl),
+qb AS (SELECT query_id, tbl,
+              CAST(sum(CASE WHEN list_dot_product(qv, p) > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+       FROM q CROSS JOIN planes GROUP BY query_id, tbl),
+cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+         FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket),
+{_KNN_RERANK_SQL}"""
+
+
+def _knn_ivf_sql(sf_dir: str, n_lists: int = 16, n_probe: int = 6,
+                 sample_size: int = 2048, seed: int = 42) -> str:
+    """Twin of _q_knn_ivf: the coarse centroids are re-derived here with
+    THE SAME numpy trainer over the same deterministic sorted-prefix sample
+    (read via pyarrow, no Spark), embedded as literals; list assignment,
+    probe choice, re-rank and recall are pure SQL. Centroids are literal
+    but data-derived at oracle-build time, so testdata regeneration keeps
+    the oracle consistent automatically."""
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = tb.to_pandas().sort_values("vec_id").head(sample_size)
+    samp = np.array([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-30)
+    cents = similarity._kmeans_centroids(samp, n_lists, seed)
+    cv = ",\n".join(f"({cid}, {_vec_sql(c)})" for cid, c in enumerate(cents))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+en AS (SELECT vec_id, v, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS vn FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qvn FROM en WHERE vec_id < 3),
+cents(cid, c) AS (VALUES {cv}),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT en.vec_id, cid,
+           row_number() OVER (PARTITION BY en.vec_id ORDER BY list_distance(vn, c), cid) AS rn
+    FROM en CROSS JOIN cents) WHERE rn = 1),
+probes AS (SELECT query_id, cid FROM (
+    SELECT q.query_id, cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(qvn, c), cid) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= {n_probe}),
+cand AS (SELECT DISTINCT p.query_id, a.vec_id FROM assign a JOIN probes p ON a.cid = p.cid),
+{_KNN_RERANK_SQL}"""
+
+
 def _lsh_pairs_sql() -> str:
     mh = ", ".join(f"{_minhash_expr(i)} AS m{i}" for i in range(_LSH_N))
     band_rows = " UNION ALL ".join(
@@ -613,7 +714,9 @@ JOIN shing sb ON sb.doc_id = pairs.doc_b
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
+    """sf_dir parameterizes the one data-derived oracle (knn_ivf's
+    centroid literals); the driver calls this with no args at sf0.01."""
     sw = "', '".join(textstats.EN_STOPWORDS)
     o = {
         "doc_stats": BM25_CTES + "SELECT doc_id, dl FROM docs ORDER BY doc_id",
@@ -746,6 +849,19 @@ def oracle_sql() -> dict[str, str]:
                        FROM e CROSS JOIN q)
             SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
+        # approximate ANN — hash-checked since round 3: the seeded LSH
+        # planes / IVF centroids are embedded as literals and the candidate
+        # derivation + exact re-rank + recall re-computed in SQL
+        "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": _knn_ivf_sql(sf_dir),
+        # multimodal — hash-checked since round 3 against the committed
+        # local-decode fixture (tools/make_multimodal_fixture.py): the same
+        # deterministic payloads decoded in ONE process, so the check
+        # covers the distributed mapInPandas/Arrow plumbing; decoder math
+        # itself is pinned by hand-valued pytest cases
+        "multimodal_features": f"""
+            SELECT media_id, kind, n_bytes, decode_ok, feature_sum
+            FROM read_parquet('{_FIXTURE_DIR}/multimodal_expected.parquet')""",
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings WHERE vec_id < 300)
@@ -825,7 +941,4 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, ROUND(sum(value), 6) AS total_value
             FROM s GROUP BY user_id, sno""",
     }
-    # knn_lsh (approximate; carries its own recall-vs-bruteforce column) and
-    # multimodal_features (binary plumbing) stay rows-only; everything else
-    # is hash-checked against DuckDB
     return o

@@ -355,9 +355,10 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL encodings: PPM images, PCM16
-    WAVs (two-tone sine + noise), VID0 frame stacks."""
+def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """The deterministic row set behind synth_media, Spark-free — shared by
+    the Spark table below and the local oracle twin (expected_features_local),
+    so both sides decode byte-identical payloads."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -382,4 +383,34 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = encode_video(frames)
             rows.append((i, kind, bytearray(payload), "video/x-vid0",
                          8, 6, n_frames * 1000))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL encodings: PPM images, PCM16
+    WAVs (two-tone sine + noise), VID0 frame stacks."""
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def expected_features_local(n: int = 64, seed: int = 42) -> pd.DataFrame:
+    """Local (no-Spark) twin of extract_features ∘ synth_media plus the
+    driver query's feature_sum: runs the same decoders over the same
+    deterministic payloads in one process. Staged as a parquet fixture
+    (tests/fixtures/) it gives DuckDB an oracle for the Spark-distributed
+    decode — checking the mapInPandas/Arrow plumbing end to end, while the
+    decoder MATH is pinned by hand-valued pytest cases. feature_sum is a
+    strict left-fold like Spark's F.aggregate, so the IEEE sums agree
+    bit for bit."""
+    rows = []
+    for (mid, kind, payload, _mime, _w, _h, _d) in synth_media_rows(n, seed):
+        v, ok = _decode_features(payload, kind)
+        feats = np.round(v, 6).tolist()
+        acc = 0.0
+        for x in feats:
+            acc += x
+        rows.append((mid, kind, 0 if payload is None else len(payload),
+                     ok, round(acc, 6)))
+    return pd.DataFrame(
+        rows, columns=["media_id", "kind", "n_bytes", "decode_ok", "feature_sum"],
+    ).astype({"media_id": "int64", "n_bytes": "int64",
+              "decode_ok": "bool", "feature_sum": "float64"})

@@ -190,7 +190,8 @@ def lsh_knn(
         pairs.withColumn("sim", cos(F.col("qvec"), F.col("cvec")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+        # + 0.0 canonicalizes IEEE −0.0 like the other kNN paths
+        .select("query_id", "vec_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"))
         .orderBy("query_id", F.desc("sim"), F.asc("vec_id"))
     )
 

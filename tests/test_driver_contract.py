@@ -65,7 +65,9 @@ def test_query_matches_oracle(spark, sf_dir, name):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_dir)
-    res = con.execute(ORACLES[name])
+    # rebuild the oracle for THIS sf (knn_ivf's centroid literals are
+    # derived from the sf's embeddings table; the driver runs at sf0.01)
+    res = con.execute(entrymod.oracle_sql(sf_dir)[name])
     d_cols = [c[0].lower() for c in res.description]
     d_rows = res.fetchall()
 

@@ -322,3 +322,18 @@ def test_frame_sampling_drops_whole_corrupt_video(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     fs = multimodal.frame_sample_features(df, every=2).collect()
     assert {r["media_id"] for r in fs} == {0}
+
+
+def test_multimodal_fixture_is_current():
+    """The committed oracle fixture (tests/fixtures/multimodal_expected.
+    parquet) must match what the CURRENT decoders produce — if a decoder or
+    synth_media changes, rerun tools/make_multimodal_fixture.py."""
+    import os
+
+    import pandas as pd
+
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "fixtures", "multimodal_expected.parquet")
+    want = multimodal.expected_features_local(n=60, seed=42)
+    got = pd.read_parquet(fx)
+    pd.testing.assert_frame_equal(got, want)
