@@ -50,7 +50,9 @@ def _scaling_run(cores: int, src: str, n_timed: int = 1) -> None:
 
     n_timed > 1 repeats the timed build inside the warm JVM and reports
     the MIN wall — extra noise samples at the level that host contention
-    hits hardest (the fast multi-core run), at marginal cost."""
+    hits hardest (the fast multi-core run), at marginal cost. The reported
+    query p50 comes from the SAME repeat that produced the min wall, so the
+    build and query numbers in one row describe one run."""
     os.environ["HORA_SPARK_MASTER"] = f"local[{cores}]"
     from hora_spark.engine import Engine
     from hora_spark.session import get_spark
@@ -69,8 +71,7 @@ def _scaling_run(cores: int, src: str, n_timed: int = 1) -> None:
                                   order_cols=["conv_id", "turn_idx"])
     finally:
         shutil.rmtree(warm, ignore_errors=True)
-    walls = []
-    eng = None
+    walls, lats = [], []
     for _ in range(max(1, n_timed)):
         path = tempfile.mkdtemp(prefix=f"hora_bench_{cores}_")
         try:
@@ -84,14 +85,15 @@ def _scaling_run(cores: int, src: str, n_timed: int = 1) -> None:
                 tq = time.perf_counter()
                 eng.search(q, k=10).collect()
                 lat.append(time.perf_counter() - tq)
+            lats.append(statistics.median(lat))
         finally:
             shutil.rmtree(path, ignore_errors=True)
-    wall = min(walls)
+    best = min(range(len(walls)), key=walls.__getitem__)
     print(json.dumps({
-        "cores": cores, "turns": n_turns, "wall_s": round(wall, 3),
+        "cores": cores, "turns": n_turns, "wall_s": round(walls[best], 3),
         "all_walls_s": [round(w, 3) for w in walls],
-        "throughput": round(n_turns / wall, 1),
-        "query_p50_s": round(statistics.median(lat), 4),
+        "throughput": round(n_turns / walls[best], 1),
+        "query_p50_s": round(lats[best], 4),
     }))
     spark.stop()
 
@@ -168,7 +170,7 @@ def main() -> None:
         small_cores = int(os.environ.get("HORA_BENCH_SMALL", "1"))
         big_cores = int(os.environ.get("HORA_BENCH_BIG", str(small_cores * 4)))
         target = float(os.environ.get("HORA_BENCH_TARGET", "0.8"))
-        max_repeats = int(os.environ.get("HORA_BENCH_REPEATS", "3"))
+        n_pairs = int(os.environ.get("HORA_BENCH_PAIRS", "2"))
         t0 = time.perf_counter()
         # input generated ONCE at full parallelism, shared by both levels
         from hora_spark.datagen import generate_transcripts
@@ -176,20 +178,23 @@ def main() -> None:
         generate_transcripts(spark, N_CONVS, seed=42, partitions=CPUS * 2).write.mode(
             "overwrite"
         ).parquet(src)
-        # Interleaved, ADAPTIVE best-of-N: the sandbox VM shows ±30%
-        # run-to-run noise from host contention, so min wall per level
-        # measures the engine, not the neighbors. Pairs keep running until
-        # the north_rule target is met or max_repeats is spent — a single
-        # noisy pair can no longer become the recorded artifact.
+        # Interleaved FIXED number of pairs: the sandbox VM shows ±30%
+        # run-to-run noise from host contention, so min wall per level over
+        # all pairs measures the engine, not the neighbors. The pair count
+        # is fixed up front (no stopping early once the target is met —
+        # optional stopping on a noisy estimator could only bias the
+        # recorded efficiency upward); only the wall budget can cut it
+        # short, and that cut is target-blind.
         budget_s = float(os.environ.get("HORA_BENCH_SCALING_BUDGET", "1000"))
         los, his = [], []
         lo = hi = None
         eff = 0.0
         ratio = big_cores / small_cores
-        for attempt in range(1, max_repeats + 1):
+        for attempt in range(1, n_pairs + 1):
             if attempt > 1 and time.perf_counter() - t0 > budget_s:
                 print(f"[bench] scaling wall budget {budget_s}s spent — "
-                      f"stopping after {attempt - 1} attempts", file=sys.stderr)
+                      f"stopping after {attempt - 1} of {n_pairs} pairs "
+                      "(budget check is target-blind)", file=sys.stderr)
                 break
             # the fast (big-N) run is the one host contention distorts most
             # (it sits nearest the shared-bus ceiling) — sample it twice
@@ -206,10 +211,8 @@ def main() -> None:
             lo = min(los, key=lambda r: r["wall_s"])
             hi = min(his, key=lambda r: r["wall_s"])
             eff = (lo["wall_s"] / hi["wall_s"]) / ratio
-            if eff >= target:
-                break
-            print(f"[bench] attempt {attempt}: efficiency {eff:.3f} < "
-                  f"{target} — retrying (noise policy)", file=sys.stderr)
+            print(f"[bench] pair {attempt}/{n_pairs}: running min-wall "
+                  f"efficiency {eff:.3f}", file=sys.stderr)
         shutil.rmtree(src, ignore_errors=True)
         if lo and hi:
             scaling = {
@@ -311,7 +314,7 @@ sizes, not corpus size, via term-pruned scans + block-max skipping.
             f.write(f"| {k} | {v} |\n")
         f.write("\nRegenerate: `python bench.py` (env: SPARK_GRAFT_SF_DIR, "
                 "SPARK_GRAFT_CPUS, HORA_BENCH_CONVS, HORA_BENCH_SMALL/BIG, "
-                "HORA_BENCH_SKIP_SCALING=1).\n")
+                "HORA_BENCH_PAIRS, HORA_BENCH_SKIP_SCALING=1).\n")
 
 
 if __name__ == "__main__":

@@ -68,6 +68,12 @@ class EngineConfig:
     # everywhere (oracle, WAND path, SQL oracles). The analog of hora's
     # Neighbor ordering (/root/reference/src/core/neighbor.rs:30-34).
     k_default: int = 10
+    # tombstone sets at or below this many ids are collected to the driver
+    # and broadcast (8 bytes/id → ≤ ~8 MB); above it the query and
+    # compaction paths switch to a shard-aligned cogroup so the delete set
+    # never materializes on the driver (a bulk purge of 1% of 10^12 docs
+    # would OOM the broadcast path). Results are identical either way.
+    max_broadcast_deletes: int = 1_000_000
 
 
 # token pattern pinned once; must stay expressible in BOTH Spark (Java

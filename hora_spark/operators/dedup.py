@@ -218,12 +218,17 @@ def simhash_near_pairs(
     max_bucket: int = 64,
 ) -> DataFrame:
     """Hamming-distance blocking: docs agreeing on any 15-bit band of the
-    60-bit simhash are candidates (catches Hamming distance ≤ 3).
+    60-bit simhash are candidates. The "catches Hamming distance ≤ 3"
+    guarantee (4 bands → some band untouched by ≤ 3 bit flips) holds for
+    pairs whose shared band bucket has ≤ max_bucket members; over-cap
+    buckets — which on boilerplate-heavy corpora ARE duplicate classes —
+    emit only O(n) STAR pairs (each member vs the bucket's min doc_id), so
+    two non-min members of such a bucket are not paired directly but are
+    both linked to the same kept representative.
 
     Same skew guard as the MinHash sibling: an identical-fingerprint class
     of n docs would emit n² join rows, so over-cap band buckets collapse to
-    STAR pairs against the bucket's min doc_id (O(n), still marks every
-    member a near-dup of the kept representative)."""
+    star pairs instead."""
     base = df.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("sh"))
     bands = base.select(
         "doc_id", "sh",

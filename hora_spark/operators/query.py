@@ -147,12 +147,6 @@ def search_topk(
     b_queries = spark.sparkContext.broadcast(q_terms)
     b_idf = spark.sparkContext.broadcast(idf_map)
 
-    # tombstoned ids (delete support): a deletes table in the snapshot is
-    # collected to a sorted array and broadcast — the deleted set is tiny
-    # relative to the corpus (physical removal happens at compaction); the
-    # filter is exact (hora's has_deletion check, hnsw_idx.rs:235-237)
-    b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
-
     segs = (
         store.read("segments", version)
         .filter(F.col("term").isin(live_terms))
@@ -160,11 +154,42 @@ def search_topk(
                 "block_last", "block_tf_max", "block_dl_min")
     )
 
-    def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _shard_search(seg_pdf, b_queries.value, b_idf.value, k, avgdl,
-                             k1, b, prune, deleted=b_del.value)
+    # tombstoned ids (delete support; hora's has_deletion check,
+    # hnsw_idx.rs:235-237): filtering happens INSIDE the shard UDF, before
+    # top-k selection, so survivors' scores and ranks are exact. Two
+    # physical forms, identical results:
+    # - small sets (≤ cfg.max_broadcast_deletes, per meta's n_deletes
+    #   upper bound): collect to a sorted array and broadcast;
+    # - large sets (bulk purges): NEVER collected — doc-range sharding
+    #   means doc_id // shard_size IS the shard key, so each shard's
+    #   tombstones cogroup with its segment rows and no driver state
+    #   grows with the delete volume.
+    n_del = int(meta.get("n_deletes", 0))
+    if n_del > cfg.max_broadcast_deletes and store.exists("deletes", version):
+        shard_size = int(meta["shard_size"])
+        dels = store.read("deletes", version).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id").cast("long") / F.lit(shard_size)).cast("int").alias("shard_id"),
+        )
 
-    local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
+        def run_cg(seg_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+            d = (np.unique(del_pdf["doc_id"].to_numpy(np.int64))
+                 if len(del_pdf) else None)
+            return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
+                                 avgdl, k1, b, prune, deleted=d)
+
+        local = (
+            segs.groupby("shard_id").cogroup(dels.groupby("shard_id"))
+            .applyInPandas(run_cg, RESULT_SCHEMA)
+        )
+    else:
+        b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
+
+        def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+            return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
+                                 avgdl, k1, b, prune, deleted=b_del.value)
+
+        local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rn", F.row_number().over(w))

@@ -72,9 +72,22 @@ def _width_of(maxvals: np.ndarray) -> np.ndarray:
 
 
 def _empty() -> pd.DataFrame:
-    return pd.DataFrame({c: [] for c in (
-        "shard_id", "term", "df_local", "doc_blocks", "tf_blocks", "dl_blocks",
-        "block_last", "block_n", "block_tf_max", "block_dl_min", "encode_us")})
+    # dtypes must be Arrow-convertible to SEGMENT_SCHEMA even for zero rows
+    # (a bare [] column is float64, which Arrow refuses to cast to
+    # list<binary> — hit when a cogroup hands an empty segment side)
+    return pd.DataFrame({
+        "shard_id": pd.Series([], dtype=np.int32),
+        "term": pd.Series([], dtype=object),
+        "df_local": pd.Series([], dtype=np.int64),
+        "doc_blocks": pd.Series([], dtype=object),
+        "tf_blocks": pd.Series([], dtype=object),
+        "dl_blocks": pd.Series([], dtype=object),
+        "block_last": pd.Series([], dtype=object),
+        "block_n": pd.Series([], dtype=object),
+        "block_tf_max": pd.Series([], dtype=object),
+        "block_dl_min": pd.Series([], dtype=object),
+        "encode_us": pd.Series([], dtype=np.int64),
+    })
 
 
 def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:

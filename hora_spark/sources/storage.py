@@ -18,6 +18,13 @@ A manifest maps table name → list of data dirs. Commits are atomic via
 write-temp + rename. `read(table, version)` gives time travel
 (`VERSION AS OF` semantics).
 
+Filesystem scope: DATA dirs are read/written through Spark, so they work
+on any Hadoop-compatible FS — but MANIFEST I/O and `expire_snapshots` GC
+use the local filesystem (os/json/shutil) and are local-FS-only in this
+sandbox. On HDFS/S3 the remote-capable path is the Iceberg mapping below
+(Iceberg's own metadata layer + `expire_snapshots` procedure replace this
+class's manifests and GC wholesale), not a Hadoop-FS port of this file.
+
 Iceberg mapping (not implemented here — the sandbox has no Iceberg runtime
 jars; this store IS the same shape): each logical table becomes a real
 Iceberg table (`write_table`/`commit` → `df.writeTo(t).append()` or

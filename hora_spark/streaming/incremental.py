@@ -121,18 +121,44 @@ def append_build(
 def _compact_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig) -> str:
     """Shared compaction step (used by merge_segments AND rebuild): decode
     every (shard, term) row set, physically drop tombstoned docs, re-encode
-    canonically, commit the replaced segments table (deletes table cleared).
-    Returns the new segments dir."""
-    deleted = store.deleted_ids()
-    b_del = spark.sparkContext.broadcast(deleted)
+    canonically, commit the replaced segments table (deletes table cleared,
+    n_deletes reset). Returns the new segments dir.
+
+    Delete filtering has two physical forms with identical results:
+    small tombstone sets (≤ cfg.max_broadcast_deletes) are collected and
+    broadcast; large ones NEVER touch the driver — doc-range sharding means
+    doc_id // shard_size IS the shard key, so the tombstones cogroup with
+    the segment rows of their own shard."""
     segs = store.read("segments")
-    merged = segs.groupBy("shard_id").applyInPandas(
-        lambda pdf: merge_shard_rows(pdf, cfg.index.block_size, deleted=b_del.value),
-        SEGMENT_SCHEMA,
-    )
+    block_size = cfg.index.block_size
+    n_del = int(store.meta().get("n_deletes", 0))
+    if n_del > cfg.max_broadcast_deletes and store.exists("deletes"):
+        shard_size = int(store.meta()["shard_size"])
+        dels = store.read("deletes").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id").cast("long") / F.lit(shard_size)).cast("int").alias("shard_id"),
+        )
+
+        def run_cg(seg_pdf, del_pdf):
+            import numpy as np
+            d = (np.unique(del_pdf["doc_id"].to_numpy(np.int64))
+                 if len(del_pdf) else None)
+            return merge_shard_rows(seg_pdf, block_size, deleted=d)
+
+        merged = (
+            segs.groupby("shard_id").cogroup(dels.groupby("shard_id"))
+            .applyInPandas(run_cg, SEGMENT_SCHEMA)
+        )
+    else:
+        b_del = spark.sparkContext.broadcast(store.deleted_ids())
+        merged = segs.groupBy("shard_id").applyInPandas(
+            lambda pdf: merge_shard_rows(pdf, block_size, deleted=b_del.value),
+            SEGMENT_SCHEMA,
+        )
     d_seg = store.stage_dir("segments")
     merged.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
-    store.commit({"segments": [d_seg]}, replace=True, drop=["deletes"])
+    store.commit({"segments": [d_seg]}, replace=True, drop=["deletes"],
+                 meta={"n_deletes": 0})
     return d_seg
 
 
@@ -149,8 +175,15 @@ def delete_docs(spark: SparkSession, store: SnapshotStore, doc_ids) -> dict:
         df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
     d = store.stage_dir("deletes")
     df.write.mode("overwrite").parquet(d)
-    v = store.commit({"deletes": [d]}, replace=False)
-    return {"version": v}
+    # cumulative tombstone count (an upper bound — re-deletes count twice)
+    # rides in the meta so readers can choose broadcast vs cogroup delete
+    # filtering WITHOUT running a count job per query; counted from the
+    # written files, not by recomputing df
+    n_new = spark.read.parquet(d).count()
+    old = int(store.meta().get("n_deletes", 0))
+    v = store.commit({"deletes": [d]}, replace=False,
+                     meta={"n_deletes": old + n_new})
+    return {"version": v, "n_deletes": old + n_new}
 
 
 def merge_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig | None = None) -> int:
