@@ -169,6 +169,35 @@ def _q_bm25_rebuilt(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_topk_per_source(spark, sf_dir):
+    """Grouped top-k on the SEARCH path: the best 3 BM25-scored docs per
+    `source` group for the hot query — the 'best turn per conversation'
+    shape over the north input, expressed as full query scoring (no global
+    limit) + WindowGroupLimit per group. Scores match the global BM25
+    oracle digit-for-digit; only the grouping differs."""
+    from hora_spark.functions.bm25 import score_col
+    from hora_spark.operators.oracle import query_terms_df
+
+    c = _corpus(spark, sf_dir)
+    cfg = EngineConfig()
+    q = query_terms_df(spark, " ".join(HOT_QUERY), c, cfg)
+    scored = (
+        c.tf.join(F.broadcast(q.select("term", "idf")), "term", "inner")
+        .withColumn("contrib", score_col(F.col("tf"), F.col("dl"), F.col("idf"),
+                                         F.lit(c.avgdl), cfg.bm25))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(src, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "doc_id", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
 def _q_topk_per_term(spark, sf_dir):
     c = _corpus(spark, sf_dir)
     terms = ["join", "dup", "spark"]
@@ -476,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_five_noprune": _mk_bm25_indexed(FIVE_QUERY, prune=False),
         "bm25_indexed_deleted": _q_bm25_deleted,
         "bm25_indexed_rebuilt": _q_bm25_rebuilt,
+        "bm25_topk_per_source": _q_bm25_topk_per_source,
         "topk_per_term": _q_topk_per_term,
         # dedup family
         "exact_dup_groups": _q_exact_dups,
@@ -556,6 +586,34 @@ scored AS (
 )
 SELECT doc_id, ROUND(s, 6) AS score FROM scored
 ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _bm25_grouped_sql(terms: list[str], per_group: int = 3) -> str:
+    """Grouped top-k twin of _bm25_sql: full scoring, then ROW_NUMBER per
+    documents.source instead of a global LIMIT."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN (SELECT DISTINCT term FROM q) USING (term)
+  CROSS JOIN stats
+  GROUP BY tfx.doc_id
+)
+SELECT source, doc_id, score, rnk FROM (
+  SELECT d.source, s.doc_id, ROUND(s.s, 6) AS score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.s DESC, s.doc_id ASC) AS rnk
+  FROM scored s JOIN documents d USING (doc_id)
+) WHERE rnk <= {per_group}
 """
     )
 
@@ -744,6 +802,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         # to exactly what a from-scratch build computes
         "bm25_indexed_deleted": _bm25_sql(HOT_QUERY, exclude=DELETED_IDS),
         "bm25_indexed_rebuilt": _bm25_sql(MID_QUERY),
+        "bm25_topk_per_source": _bm25_grouped_sql(HOT_QUERY),
         "topk_per_term": BM25_CTES
         + """SELECT term, doc_id, tf, rnk FROM (
                SELECT term, doc_id, tf,

@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--waves", type=int, default=1)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--build-id", default="build-0")
+    b.add_argument("--no-store-dl", action="store_true",
+                   help="space-lean layout: no per-posting dl blocks "
+                        "(~25%% smaller index; queries read the norms "
+                        "sidecar instead — identical scores)")
 
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
@@ -77,7 +81,14 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"hora_spark_{args.cmd}")
 
     if args.cmd == "build":
-        eng = Engine(spark, args.index)
+        import dataclasses
+
+        from hora_spark.config import EngineConfig
+        cfg = EngineConfig()
+        if args.no_store_dl:
+            cfg = dataclasses.replace(
+                cfg, index=dataclasses.replace(cfg.index, store_dl=False))
+        eng = Engine(spark, args.index, cfg)
         out = eng.build(
             spark.read.parquet(args.input),
             text_col=args.text_col,

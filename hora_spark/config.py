@@ -58,6 +58,14 @@ class IndexConfig:
     salt_rows: int = 8              # max segment rows a hot term is split into
     min_token_len: int = 1
     max_token_len: int = 64
+    # store per-posting doc lengths (dl_blocks) in FINAL segment rows.
+    # True (default): queries decode O(posting) bytes — rare-term cost is
+    # proportional to the posting, never the shard. False: the index is
+    # ~1-2 bytes/posting smaller and the build skips one block-pack pass,
+    # but every query also reads+decodes the shard's norms sidecar row
+    # (the round-1 layout). The mode is recorded in the snapshot meta and
+    # both paths return byte-identical scores.
+    store_dl: bool = True
 
 
 @dataclass(frozen=True)

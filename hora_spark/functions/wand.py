@@ -39,16 +39,23 @@ class TermPosting:
     scoring a rare term decodes O(posting) bytes — no shard-wide norms
     sidecar is touched (the round-1 design decoded the whole shard's
     doc-length table per query, making rare-term cost scale with shard
-    size instead of posting size)."""
+    size instead of posting size).
+
+    Indexes built with IndexConfig.store_dl=False have no dl_blocks; the
+    caller then supplies dl_lookup = (sorted doc ids, dls) decoded from
+    the shard's norms sidecar, and per-block dls come from a searchsorted
+    lookup — byte-identical scores, shard-proportional decode cost."""
 
     __slots__ = ("idf", "doc_blocks", "tf_blocks", "dl_blocks", "block_last",
-                 "block_max", "block_start", "_cache")
+                 "block_max", "block_start", "_cache", "dl_lookup")
 
-    def __init__(self, idf, doc_blocks, tf_blocks, dl_blocks, block_last, block_max):
+    def __init__(self, idf, doc_blocks, tf_blocks, dl_blocks, block_last,
+                 block_max, dl_lookup=None):
         self.idf = float(idf)
         self.doc_blocks = doc_blocks
         self.tf_blocks = tf_blocks
         self.dl_blocks = dl_blocks
+        self.dl_lookup = dl_lookup
         self.block_last = np.asarray(block_last, dtype=np.int64)
         self.block_max = np.asarray(block_max, dtype=np.float64)
         # first doc id of each block = prev block's last + 1 (lower bound);
@@ -65,7 +72,11 @@ class TermPosting:
             base = int(self.block_last[j - 1]) if j > 0 else 0
             ids = decode_block(self.doc_blocks[j], base=base, delta=True)
             tfs = decode_block(self.tf_blocks[j], delta=False)
-            dls = decode_block(self.dl_blocks[j], delta=False)
+            if len(self.dl_blocks):
+                dls = decode_block(self.dl_blocks[j], delta=False)
+            else:  # store_dl=False layout: norms-sidecar lookup
+                nids, ndls = self.dl_lookup
+                dls = ndls[np.searchsorted(nids, ids)]
             got = (ids, tfs, dls)
             self._cache[j] = got
         return got

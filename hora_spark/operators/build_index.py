@@ -292,10 +292,14 @@ def build_index(
             part = part.filter(F.col("shard_id").isin(wave_shards))
         # pin the merge exchange to one partition per shard (AQE bucketing
         # lumps several shards into one task and creates stragglers)
+        store_dl = cfg.index.store_dl
         segs = (
             part.repartition(len(wave_shards), "shard_id")
             .groupBy("shard_id")
-            .applyInPandas(lambda pdf: merge_shard_rows(pdf, block_size), SEGMENT_SCHEMA)
+            .applyInPandas(
+                lambda pdf: merge_shard_rows(pdf, block_size, store_dl=store_dl),
+                SEGMENT_SCHEMA,
+            )
         )
         d_seg = store.stage_dir("segments")
         segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
@@ -328,6 +332,9 @@ def build_index(
             "max_doc_id": max_id,
             "next_doc_id": max_id + 1,
             "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+            # layout mode: queries read it to decide whether per-posting
+            # dl_blocks exist or the norms sidecar must be scanned
+            "store_dl": cfg.index.store_dl,
         },
     )
     _dbg("stats+lineage committed")

@@ -90,13 +90,16 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     w: int = 3,
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded MinHash buckets.
 
     bands × rows_per_band = n_hashes; a pair collides if ANY band's row
     slice matches exactly. Bucket-size cap bounds the b² pair blowup on
-    boilerplate-heavy corpora (skew guard)."""
+    boilerplate-heavy corpora (skew guard). max_bucket=None disables the
+    guard entirely (no bucket-stats window pass — plain banded self-join):
+    only for trusted-small inputs and A/B measurement; at corpus scale one
+    boilerplate bucket of b docs would emit b² join rows."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature_col(F.col(text_col), n_hashes, w)
     base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
@@ -113,6 +116,16 @@ def minhash_lsh_candidates(
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is None:  # guard off: the r1 plan shape (A/B + tiny inputs)
+        a = band_keys.alias("a")
+        b = band_keys.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
     # bucket-size cap: a bucket of n docs would emit n² join rows, and on a
     # boilerplate-heavy corpus the BIGGEST buckets are exactly the dup
     # classes dedup exists for. Over-cap buckets are therefore emitted as
@@ -188,26 +201,33 @@ def jaccard_pairs(
 # ------------------------------------------------------------- SimHash ---
 
 def simhash_col(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash via bitwise majority over token md5s (first 16 hex
-    chars → bigint via conv). Built-ins only; per-bit majority expressed as
-    a sum over +1/-1 contributions."""
+    """64-bit SimHash via bitwise majority over token md5s (first 15 hex
+    chars → bigint via conv). Built-ins only, ONE pass over the token-hash
+    array: an F.aggregate with a 60-counter accumulator (zip_with against
+    a literal mask array) replaces the previous 60 separate F.filter
+    traversals — O(60·|tokens|) expression evals either way, but one array
+    walk instead of sixty (measured ~9× faster on the 50k-doc sf0.1
+    corpus: 21.9 s → 2.3 s min over interleaved runs; BENCH.md).
+
+    Per-bit majority as a sum of ±1 contributions: counter_b =
+    Σ tokens (bit_b set ? +1 : −1); bit_b of the result = counter_b > 0
+    (identical to ones·2 > total)."""
     toks = tokens_col(text)
     h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    # bit b of result = 1 iff sum over tokens of (bit set ? 1 : -1) > 0.
-    # NB: the predicate must be a UNARY lambda — a second (default) param
-    # would make Spark pass the array index into it.
-    def bit_set(mask: int):
-        return lambda v: v.bitwiseAND(F.lit(mask)) != 0
-
-    bit_cols = []
-    total = F.size(h)
-    for b in range(60):  # 15 hex chars = 60 bits
-        ones = F.size(F.filter(h, bit_set(1 << b)))
-        bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out.cast("long")
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    # NB: every lambda's arity is deliberate (binary zip_with lambdas; a
+    # stray default arg would make Spark bind the array index to it)
+    counts = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, v: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(v.bitwiseAND(m) != F.lit(0), 1).otherwise(-1),
+        ),
+    )
+    set_bits = F.zip_with(counts, masks,
+                          lambda c, m: F.when(c > 0, m).otherwise(F.lit(0)))
+    return F.aggregate(set_bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash_near_pairs(

@@ -56,10 +56,27 @@ def _shard_search(
     """One shard group: this shard's segment rows for all query terms.
     Runs WAND once per query. Doc lengths are decoded from the postings'
     own dl_blocks — the query touches O(matched posting) bytes, never a
-    shard-sized sidecar (rare-term cost ∝ posting size, not shard size)."""
-    seg_pdf = seg_pdf[seg_pdf["term"] != NORMS_TERM]
+    shard-sized sidecar (rare-term cost ∝ posting size, not shard size).
+    Exception: indexes built with store_dl=False carry no dl_blocks; the
+    scan then includes the shard's norms rows and dls come from a sorted
+    lookup over the decoded sidecar (scores byte-identical)."""
+    is_norms = seg_pdf["term"] == NORMS_TERM
+    norms_pdf = seg_pdf[is_norms]
+    seg_pdf = seg_pdf[~is_norms]
     if len(seg_pdf) == 0:
         return _EMPTY
+    dl_lookup = None
+    if any(len(r) == 0 for r in seg_pdf["dl_blocks"]):
+        from hora_spark.functions.codec import decode_block
+
+        ids_all, dls_all = [], []
+        for row in norms_pdf.itertuples(index=False):  # base + append deltas
+            ids_all.append(decode_block(bytes(row.doc_blocks[0]), base=0, delta=True))
+            dls_all.append(decode_block(bytes(row.tf_blocks[0]), delta=False))
+        nids = np.concatenate(ids_all)
+        ndls = np.concatenate(dls_all).astype(np.float64)
+        order = np.argsort(nids, kind="mergesort")
+        dl_lookup = (nids[order], ndls[order])
     # a term can have MULTIPLE segment rows (base build + appended deltas);
     # each is an independent posting source — every doc lives in exactly
     # one source, so summing per-source contributions stays exact and the
@@ -77,7 +94,8 @@ def _shard_search(
         dl_min = np.asarray(row.block_dl_min, dtype=np.float64)
         ub = idf * tf_max / (tf_max + k1 * (1.0 - b + b * dl_min / avgdl))
         postings.setdefault(row.term, []).append(TermPosting(
-            idf, row.doc_blocks, row.tf_blocks, row.dl_blocks, row.block_last, ub,
+            idf, row.doc_blocks, row.tf_blocks, row.dl_blocks, row.block_last,
+            ub, dl_lookup=dl_lookup,
         ))
     out_q, out_d, out_s = [], [], []
     for qid, terms in enumerate(queries):
@@ -147,9 +165,14 @@ def search_topk(
     b_queries = spark.sparkContext.broadcast(q_terms)
     b_idf = spark.sparkContext.broadcast(idf_map)
 
+    # store_dl=True (default): the scan reads strictly query-term rows.
+    # store_dl=False layout: postings carry no dl, so the reserved norms
+    # row rides in the same pushed-down scan (one extra row per shard).
+    scan_terms = (live_terms if bool(meta.get("store_dl", True))
+                  else live_terms + [NORMS_TERM])
     segs = (
         store.read("segments", version)
-        .filter(F.col("term").isin(live_terms))
+        .filter(F.col("term").isin(scan_terms))
         .select("shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
                 "block_last", "block_tf_max", "block_dl_min")
     )

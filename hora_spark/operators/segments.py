@@ -90,9 +90,13 @@ def _empty() -> pd.DataFrame:
     })
 
 
-def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def encode_shard_rows(pdf: pd.DataFrame, block_size: int,
+                      store_dl: bool = True) -> pd.DataFrame:
     """(shard_id, doc_id, dl, term, tf) tuples of ONE shard → canonical
-    segment rows + the norms row."""
+    segment rows + the norms row.
+
+    store_dl=False skips the per-posting dl_blocks (queries then fall back
+    to the norms sidecar — IndexConfig.store_dl documents the trade)."""
     t0 = time.perf_counter()
     if not len(pdf):
         return _empty()
@@ -120,12 +124,14 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     gap_max = np.maximum.reduceat(gaps, b_starts)
     tf_max = np.maximum.reduceat(tfs, b_starts)
     dl_min = np.minimum.reduceat(dls, b_starts)
-    dl_max = np.maximum.reduceat(dls, b_starts)
     doc_blocks = _pack_blocks(gaps, b_starts, b_ends, _width_of(gap_max))
     tf_blocks = _pack_blocks(tfs, b_starts, b_ends, _width_of(tf_max))
     # doc lengths ride with the posting (dl_blocks ∥ tf_blocks): scoring a
     # term decodes O(posting) bytes, never a shard-wide norms sidecar
-    dl_blocks = _pack_blocks(dls, b_starts, b_ends, _width_of(dl_max))
+    # (unless store_dl=False, the space-lean round-1 layout)
+    if store_dl:
+        dl_max = np.maximum.reduceat(dls, b_starts)
+        dl_blocks = _pack_blocks(dls, b_starts, b_ends, _width_of(dl_max))
     block_last = doc_ids[b_ends - 1]
     block_n = (b_ends - b_starts).astype(np.int32)
 
@@ -138,7 +144,8 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         "df_local": (t_ends - t_starts).astype(np.int64),
         "doc_blocks": [doc_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
         "tf_blocks": [tf_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
-        "dl_blocks": [dl_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
+        "dl_blocks": ([dl_blocks[s:e] for s, e in zip(tb_starts, tb_ends)]
+                      if store_dl else [[] for _ in range(len(uniq))]),
         "block_last": [block_last[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
         "block_n": [block_n[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
         "block_tf_max": [tf_max[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
@@ -167,7 +174,8 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 
 
 def merge_shard_rows(
-    pdf: pd.DataFrame, block_size: int, deleted: np.ndarray | None = None
+    pdf: pd.DataFrame, block_size: int, deleted: np.ndarray | None = None,
+    store_dl: bool = True
 ) -> pd.DataFrame:
     """Any set of segment rows of ONE shard (partials from the map side,
     or base+delta rows during compaction) → canonical rows, by decoding
@@ -221,7 +229,7 @@ def merge_shard_rows(
     if deleted is not None and len(deleted):
         pos = np.minimum(np.searchsorted(deleted, doc_id), len(deleted) - 1)
         tf_pdf = tf_pdf[deleted[pos] != doc_id]
-    return encode_shard_rows(tf_pdf, block_size)
+    return encode_shard_rows(tf_pdf, block_size, store_dl=store_dl)
 
 
 def map_partial_segments(

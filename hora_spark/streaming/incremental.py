@@ -93,9 +93,12 @@ def append_build(
     updates: dict[str, list[str]] = {}
     if n_new > 0:
         # _encode_shard emits the reserved norms row per shard inline, so
-        # the delta commit is one table append
+        # the delta commit is one table append. The layout mode follows the
+        # EXISTING index (meta), not the caller's cfg — one index, one mode.
+        block_size, store_dl = cfg.index.block_size, bool(meta.get("store_dl", True))
         segs = tf.groupBy("shard_id").applyInPandas(
-            lambda pdf: encode_shard_rows(pdf, cfg.index.block_size), SEGMENT_SCHEMA
+            lambda pdf: encode_shard_rows(pdf, block_size, store_dl=store_dl),
+            SEGMENT_SCHEMA,
         )
         d_seg = store.stage_dir("segments")
         segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
@@ -130,10 +133,12 @@ def _compact_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConf
     doc_id // shard_size IS the shard key, so the tombstones cogroup with
     the segment rows of their own shard."""
     segs = store.read("segments")
+    meta = store.meta()
     block_size = cfg.index.block_size
-    n_del = int(store.meta().get("n_deletes", 0))
+    store_dl = bool(meta.get("store_dl", True))  # keep the index's layout mode
+    n_del = int(meta.get("n_deletes", 0))
     if n_del > cfg.max_broadcast_deletes and store.exists("deletes"):
-        shard_size = int(store.meta()["shard_size"])
+        shard_size = int(meta["shard_size"])
         dels = store.read("deletes").select(
             F.col("doc_id").cast("long").alias("doc_id"),
             (F.col("doc_id").cast("long") / F.lit(shard_size)).cast("int").alias("shard_id"),
@@ -143,7 +148,8 @@ def _compact_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConf
             import numpy as np
             d = (np.unique(del_pdf["doc_id"].to_numpy(np.int64))
                  if len(del_pdf) else None)
-            return merge_shard_rows(seg_pdf, block_size, deleted=d)
+            return merge_shard_rows(seg_pdf, block_size, deleted=d,
+                                    store_dl=store_dl)
 
         merged = (
             segs.groupby("shard_id").cogroup(dels.groupby("shard_id"))
@@ -152,7 +158,8 @@ def _compact_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConf
     else:
         b_del = spark.sparkContext.broadcast(store.deleted_ids())
         merged = segs.groupBy("shard_id").applyInPandas(
-            lambda pdf: merge_shard_rows(pdf, block_size, deleted=b_del.value),
+            lambda pdf: merge_shard_rows(pdf, block_size, deleted=b_del.value,
+                                         store_dl=store_dl),
             SEGMENT_SCHEMA,
         )
     d_seg = store.stage_dir("segments")
@@ -223,7 +230,9 @@ def rebuild(
     # stats + lineage recomputed in full over the compacted segment set —
     # the same metadata pass the build uses (blob columns pruned)
     passthrough = {
-        k: meta[k] for k in ("shard_size", "n_shards", "max_doc_id", "next_doc_id", "bm25")
+        k: meta[k]
+        for k in ("shard_size", "n_shards", "max_doc_id", "next_doc_id",
+                  "bm25", "store_dl")
         if k in meta
     }
     _commit_stats_and_lineage(

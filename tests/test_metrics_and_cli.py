@@ -66,6 +66,11 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(["build", "--input", out, "--index", idx]) == 0
     assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5"]) == 0
     assert cli.main(["info", "--index", idx]) == 0
+    # space-lean layout end to end (norms-sidecar dl at query time)
+    idx2 = str(tmp_path / "idx_nodl")
+    assert cli.main(["build", "--input", out, "--index", idx2,
+                     "--no-store-dl"]) == 0
+    assert cli.main(["search", "--index", idx2, "-q", "the of", "-k", "5"]) == 0
 
 
 def test_idf_cache_identical_results(spark, tmp_path):
