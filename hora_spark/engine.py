@@ -30,6 +30,7 @@ class Engine:
         self.spark = spark
         self.cfg = cfg or EngineConfig()
         self.store = SnapshotStore(spark, path)
+        self._idf_caches: dict[int, dict] = {}
 
     # ------------------------------------------------------------ build ---
     def build(
@@ -68,11 +69,13 @@ class Engine:
 
     def searches(self, queries: list[str], k: int | None = None, prune: bool = True,
                  version: int | None = None) -> DataFrame:
-        # no driver-side idf state: the stats lookup rides the search job
-        # as a broadcast join, so results always reflect `version` exactly
+        # idf cache keyed by snapshot version: stats are frozen per
+        # snapshot, so repeat query terms skip the lookup job
+        v = self.store.current_version() if version is None else version
+        cache = self._idf_caches.setdefault(v, {})
         return _query.search_topk(
             self.spark, self.store, queries, k=k or self.cfg.k_default,
-            cfg=self.cfg, prune=prune, version=version,
+            cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
         )
 
     # ------------------------------------------------------- maintenance --
@@ -80,14 +83,18 @@ class Engine:
         """Tombstone docs: excluded from every search immediately (scores
         of survivors unchanged); bytes removed at compact/rebuild."""
         from hora_spark.streaming.incremental import delete_docs
-        return delete_docs(self.spark, self.store, doc_ids)
+        out = delete_docs(self.spark, self.store, doc_ids)
+        self._idf_caches.clear()  # deletes don't touch idf, but keep tidy
+        return out
 
     def rebuild(self, build_id: str = "rebuild-0") -> dict:
         """Compact + refresh corpus stats (ann_index.rs:69-71): appended
         novel-vocabulary terms become searchable, tombstones become
         physical, scores equal a from-scratch build over live docs."""
         from hora_spark.streaming.incremental import rebuild
-        return rebuild(self.spark, self.store, self.cfg, build_id=build_id)
+        out = rebuild(self.spark, self.store, self.cfg, build_id=build_id)
+        self._idf_caches.clear()  # idf values changed
+        return out
 
     # ------------------------------------------------------------ state ---
     def built(self) -> bool:

@@ -3,9 +3,8 @@ analog (/root/reference/src/core/ann_index.rs:74-97).
 
 Lifecycle (mirrors SURVEY.md §3.2):
   tokenize query with THE SAME tokenizer (driver-side, tiny)
-  → query-term idf from the stats table (predicate-pushed filter,
-    broadcast-JOINED onto the segment scan — no driver collect, the whole
-    search is one lazy Spark job; the query-vs-centroid ranking analog,
+  → look up query-term idf from the stats table (predicate-pushed filter,
+    small collect — the query-vs-centroid ranking analog,
     /root/reference/src/index/pq_idx.rs:413-421)
   → ONE segment scan WHERE term IN (query terms ∪ {norms row}): parquet
     row-group pruning via min/max on the term column — the
@@ -46,6 +45,7 @@ _EMPTY = pd.DataFrame(
 def _shard_search(
     seg_pdf: pd.DataFrame,
     queries: list[list[str]],
+    idf_map: dict,
     k: int,
     avgdl: float,
     k1: float,
@@ -83,9 +83,9 @@ def _shard_search(
     # per-source block maxima still add up to a true upper bound
     postings: dict[str, list[TermPosting]] = {}
     for row in seg_pdf.itertuples(index=False):
-        idf = row.idf
-        if idf is None or idf != idf:  # no stats row: a term first seen in
-            continue                   # an append — unsearchable until rebuild
+        idf = idf_map.get(row.term)
+        if idf is None:  # not a query term (scan is pre-filtered in prod)
+            continue
         # stored bounds are avgdl-free (per-block max tf, min dl); the
         # block upper bound idf·sat(tf_max, dl_min) dominates every doc's
         # idf·sat(tf, dl) in the block (sat rises with tf, falls with dl)
@@ -125,16 +125,14 @@ def search_topk(
     cfg: EngineConfig | None = None,
     prune: bool = True,
     version: int | None = None,
+    idf_cache: dict | None = None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
 
-    ONE Spark job per batch: the per-term idf is not collected to the
-    driver — the pushed-down stats scan (≤ |distinct query terms| rows)
-    broadcast-joins onto the segment scan, so `search` stays fully lazy
-    and a single-query p50 pays one job's overhead, not two. Terms with no
-    stats row (first seen in an append; unsearchable until rebuild, the
-    frozen-graph analog) surface as a null idf and are skipped in the UDF."""
+    idf_cache: optional {term: idf | None} dict scoped to ONE snapshot
+    version (the Engine keys it by version) — repeat terms skip the stats
+    lookup job entirely. None marks a term known to be absent."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -147,31 +145,36 @@ def search_topk(
 
     q_terms = [sorted(set(tokenize_py(q))) for q in queries]
     all_terms = sorted({t for ts in q_terms for t in ts})
-    # empty query or empty corpus (an all-empty-text build commits meta but
-    # no segment files): nothing can match, and reading a file-less
-    # segments dir would fail schema inference
-    if not all_terms or int(meta.get("n_docs", 0)) == 0:
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    # idf lookup: pushdown filter on the stats table (term-sorted parquet);
+    # result is query-sized (≤ |distinct query terms| rows) → tiny collect
+    cache = idf_cache if idf_cache is not None else {}
+    missing = [t for t in all_terms if t not in cache]
+    if missing:
+        stats = store.read("stats", version).filter(F.col("term").isin(missing))
+        found = {r["term"]: float(r["idf"]) for r in stats.select("term", "idf").collect()}
+        for t in missing:
+            cache[t] = found.get(t)
+    idf_map = {t: cache[t] for t in all_terms if cache[t] is not None}
+    live_terms = sorted(idf_map)
+    if not live_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     b_queries = spark.sparkContext.broadcast(q_terms)
-    stats = (
-        store.read("stats", version)
-        .filter(F.col("term").isin(all_terms))
-        .select("term", "idf")
-    )
+    b_idf = spark.sparkContext.broadcast(idf_map)
 
     # store_dl=True (default): the scan reads strictly query-term rows.
     # store_dl=False layout: postings carry no dl, so the reserved norms
-    # row rides in the same pushed-down scan (one extra row per shard);
-    # it has no stats row, so the left join leaves its idf null.
-    scan_terms = (all_terms if bool(meta.get("store_dl", True))
-                  else all_terms + [NORMS_TERM])
+    # row rides in the same pushed-down scan (one extra row per shard).
+    scan_terms = (live_terms if bool(meta.get("store_dl", True))
+                  else live_terms + [NORMS_TERM])
     segs = (
         store.read("segments", version)
         .filter(F.col("term").isin(scan_terms))
         .select("shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
                 "block_last", "block_tf_max", "block_dl_min")
-        .join(F.broadcast(stats), "term", "left")
     )
 
     # tombstoned ids (delete support; hora's has_deletion check,
@@ -195,7 +198,7 @@ def search_topk(
         def run_cg(seg_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
             d = (np.unique(del_pdf["doc_id"].to_numpy(np.int64))
                  if len(del_pdf) else None)
-            return _shard_search(seg_pdf, b_queries.value, k,
+            return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=d)
 
         local = (
@@ -206,7 +209,7 @@ def search_topk(
         b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
 
         def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _shard_search(seg_pdf, b_queries.value, k,
+            return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=b_del.value)
 
         local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)

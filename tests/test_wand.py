@@ -112,9 +112,6 @@ def test_rare_term_decodes_only_its_posting(monkeypatch):
         "tf": np.ones(n_docs + 5, np.int64),
     }
     seg_pdf = encode_shard_rows(pd.DataFrame(rows), block_size=64)
-    # idf rides the segment rows since r3 (broadcast-joined in the plan);
-    # only the query term carries one — non-query rows have null idf
-    seg_pdf["idf"] = np.where(seg_pdf["term"] == "rare", 2.0, np.nan)
 
     calls = {"n": 0}
     real = wand_mod.decode_block
@@ -124,7 +121,7 @@ def test_rare_term_decodes_only_its_posting(monkeypatch):
         return real(buf, base=base, delta=delta)
 
     monkeypatch.setattr(wand_mod, "decode_block", counting)
-    out = _shard_search(seg_pdf, [["rare"]], k=10,
+    out = _shard_search(seg_pdf, [["rare"]], {"rare": 2.0}, k=10,
                         avgdl=10.0, k1=K1, b=B, prune=True)
     assert sorted(out["doc_id"]) == [0, 1000, 2000, 3000, 4000]
     # rare posting = 1 block → 3 decodes (doc, tf, dl); the 20k-doc common
