@@ -239,6 +239,22 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return ver.select("doc_a", "doc_b", "jaccard")
 
 
+def _q_training_pipeline(spark, sf_dir):
+    """The COMPOSED training-corpus pipeline end to end (quality gate →
+    exact dedup → LSH near-dup removal), hash-checked as one unit: the
+    surviving doc_id set must match a DuckDB re-derivation of every stage.
+    max_bucket high enough that the star-pair guard stays inactive at this
+    input size, so the plain-pairwise SQL twin is exact."""
+    from hora_spark.operators.pipeline import prepare_training_corpus
+
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    cleaned, _ = prepare_training_corpus(
+        df, min_quality=0.3, min_tokens=5, near_dup_jaccard=0.85,
+        lsh_hashes=8, lsh_bands=4, lsh_max_bucket=1000, count_stages=False,
+    )
+    return cleaned.select("doc_id").orderBy("doc_id")
+
+
 def _q_jaccard_small(spark, sf_dir):
     df = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
     return dedup.jaccard_pairs(df, None, threshold=0.05).select("doc_a", "doc_b", "jaccard")
@@ -513,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs_small": _q_jaccard_small,
+        "training_pipeline": _q_training_pipeline,
         "simhash_values": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         # text analysis family
@@ -772,6 +789,58 @@ JOIN shing sb ON sb.doc_id = pairs.doc_b
 """
 
 
+def _training_pipeline_sql() -> str:
+    """DuckDB re-derivation of EVERY pipeline stage (quality gate → exact
+    dedup keep-min → 8-hash/4-band LSH candidates → exact Jaccard ≥ 0.85 →
+    drop doc_b), mirroring prepare_training_corpus stage for stage."""
+    sw = "', '".join(textstats.EN_STOPWORDS)
+    mh = ", ".join(f"{_minhash_expr(i)} AS m{i}" for i in range(_LSH_N))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"m{b * _LSH_RPB + r}" for r in range(_LSH_RPB))
+        + ")) AS key FROM sigs"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, text, {TOKS} AS toks FROM documents WHERE doc_id < 200),
+feat AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains(['{sw}'], x))) AS DOUBLE)
+           / greatest(len(toks), 1) AS swr,
+         CAST(length(regexp_replace(lower(coalesce(text, '')), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / greatest(length(coalesce(text, '')), 1) AS pr,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) AS mtl
+  FROM tok),
+gated AS (
+  SELECT doc_id, toks FROM feat
+  WHERE n_tokens >= 5
+    AND ROUND(least(1.0, swr * 2.0) * 0.5
+              + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+              + (1.0 - least(1.0, pr * 4.0)) * 0.2, 6) >= 0.3),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(array_to_string(toks, ' ')) AS h FROM gated)
+  GROUP BY h),
+exact AS (SELECT g.doc_id, g.toks FROM gated g JOIN keep USING (doc_id)),
+shing AS (SELECT doc_id, {SHINGLES} AS sh FROM exact),
+sigs AS (SELECT doc_id, {mh} FROM shing),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+conf AS (
+  SELECT DISTINCT doc_b FROM pairs
+  JOIN shing sa ON sa.doc_id = pairs.doc_a
+  JOIN shing sb ON sb.doc_id = pairs.doc_b
+  WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1), 6) >= 0.85)
+SELECT doc_id FROM exact
+WHERE doc_id NOT IN (SELECT doc_b FROM conf)
+ORDER BY doc_id
+"""
+
+
 def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     """sf_dir parameterizes the one data-derived oracle (knn_ivf's
     centroid literals); the driver calls this with no args at sf0.01."""
@@ -846,6 +915,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
             FROM shing a JOIN shing b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.05""",
+        "training_pipeline": _training_pipeline_sql(),
         # ---- text analysis ----
         "text_stats": f"""
             WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),

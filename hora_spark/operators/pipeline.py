@@ -36,6 +36,7 @@ def prepare_training_corpus(
     near_dup_jaccard: float = 0.85,
     lsh_hashes: int = 16,
     lsh_bands: int = 4,
+    lsh_max_bucket: int | None = 64,
     count_stages: bool = True,
 ) -> tuple[DataFrame, PipelineReport]:
     """Returns (cleaned DataFrame, stage-count report).
@@ -67,7 +68,7 @@ def prepare_training_corpus(
     # HIGHER id of each confirmed pair (keep-first policy, deterministic)
     cands = dedup.minhash_lsh_candidates(
         exact, id_col=id_col, text_col=text_col,
-        n_hashes=lsh_hashes, bands=lsh_bands,
+        n_hashes=lsh_hashes, bands=lsh_bands, max_bucket=lsh_max_bucket,
     )
     confirmed = dedup.jaccard_pairs(exact, cands, id_col=id_col, text_col=text_col,
                                     threshold=near_dup_jaccard)
