@@ -45,8 +45,11 @@ class IndexConfig:
     Analog of hora's PQ/IVFPQ params (/root/reference/src/index/
     pq_params.rs:35-42,80-89): block_size plays the role of the code/
     subspace granularity, n_buckets the role of n_kmeans_center (coarse
-    partitioning), hot_term_df / salt_rows the role of the empty-cluster
-    skew repair (/root/reference/src/core/kmeans.rs:150-193).
+    partitioning). There is deliberately NO per-term salting knob: shards
+    are DOC ranges, so a hot term's postings are already split across
+    every shard structurally — the skew repair hora does reactively
+    (/root/reference/src/core/kmeans.rs:150-193) is built into the
+    partitioning here (asserted by the Zipf shard-balance test).
     """
 
     block_size: int = 128           # docs per compressed posting block
@@ -54,10 +57,9 @@ class IndexConfig:
                                     # (fixed by config, NOT core count —
                                     # segment bytes must not depend on
                                     # parallelism)
-    hot_term_df: int = 200_000      # df above which a term's postings are salted
-    salt_rows: int = 8              # max segment rows a hot term is split into
-    min_token_len: int = 1
-    max_token_len: int = 64
+    # NB: no token-length knobs either — the tokenizer is pinned to
+    # TOKEN_PATTERN below, because the DuckDB oracles re-derive it and
+    # rank-identity is defined against that exact tokenization
     # store per-posting doc lengths (dl_blocks) in FINAL segment rows.
     # True (default): queries decode O(posting) bytes — rare-term cost is
     # proportional to the posting, never the shard. False: the index is
