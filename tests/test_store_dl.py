@@ -54,6 +54,28 @@ def test_layouts_differ_but_scores_identical(spark, both):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_nodl_layout_with_cogroup_deletes(spark, both, tmp_path):
+    """The two orthogonal modes compose: store_dl=False (norms rows ride
+    the scan) + over-threshold deletes (tombstones cogrouped per shard,
+    never collected) must equal the broadcast-delete path exactly."""
+    import shutil
+
+    root = str(tmp_path / "nodl_del")
+    shutil.copytree(both["nodl"].store.root, root)
+    eng_bc = Engine(spark, root, CFG_NODL)
+    victims = [r["doc_id"] for r in eng_bc.search(QUERIES[0], k=4).collect()][:2]
+    eng_bc.delete(victims)
+    expect = _results(eng_bc)                     # broadcast path
+    cfg_join = dataclasses.replace(CFG_NODL, max_broadcast_deletes=0)
+    eng_cg = Engine(spark, root, cfg_join)        # forced cogroup
+    orig = eng_cg.store.deleted_ids
+    eng_cg.store.deleted_ids = lambda v=None: (_ for _ in ()).throw(
+        AssertionError("driver collect on the cogroup path"))
+    got = _results(eng_cg)
+    assert got == expect
+    assert not {d for _, d, _ in got} & set(victims)
+
+
 def test_mode_sticks_through_append_and_compact(spark, both, tmp_path):
     delta = generate_transcripts(spark, 8, seed=5)
     for name in ("dl", "nodl"):
