@@ -169,6 +169,18 @@ def _q_bm25_rebuilt(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_search_with_text(spark, sf_dir):
+    """The `search_nodes` surface (ann_index.rs:81-84) on the driver gate:
+    WAND top-k + broadcast join-back to the payload table — doc_id, score,
+    AND the raw text must all match the SQL oracle."""
+    from hora_spark.operators.query import search_with_text
+
+    eng = _engine(spark, sf_dir)
+    res = search_with_text(spark, eng.store, _docs(spark, sf_dir),
+                           [" ".join(MID_QUERY)], k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"), "text")
+
+
 def _q_bm25_topk_per_source(spark, sf_dir):
     """Grouped top-k on the SEARCH path: the best 3 BM25-scored docs per
     `source` group for the hot query — the 'best turn per conversation'
@@ -522,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_deleted": _q_bm25_deleted,
         "bm25_indexed_rebuilt": _q_bm25_rebuilt,
         "bm25_topk_per_source": _q_bm25_topk_per_source,
+        "search_with_text": _q_search_with_text,
         "topk_per_term": _q_topk_per_term,
         # dedup family
         "exact_dup_groups": _q_exact_dups,
@@ -872,6 +885,11 @@ def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "bm25_indexed_deleted": _bm25_sql(HOT_QUERY, exclude=DELETED_IDS),
         "bm25_indexed_rebuilt": _bm25_sql(MID_QUERY),
         "bm25_topk_per_source": _bm25_grouped_sql(HOT_QUERY),
+        "search_with_text": (
+            "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
+            "SELECT t.doc_id, t.score, d.text "
+            "FROM topk t JOIN documents d USING (doc_id)"
+        ),
         "topk_per_term": BM25_CTES
         + """SELECT term, doc_id, tf, rnk FROM (
                SELECT term, doc_id, tf,
