@@ -286,6 +286,17 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Transitive dedup: connected components over the simhash near-pair
+    graph — every doc in a near-dup CLOSURE maps to the min-id
+    representative (what a training pipeline actually keeps). Iterative
+    min-label propagation with pointer doubling; oracle is a recursive
+    CTE over the same pair graph."""
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    pairs = dedup.simhash_near_pairs(df, max_bucket=100_000)
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
 # -------------------------------------------------------- textstats family --
 
 def _q_textstats(spark, sf_dir):
@@ -545,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": _q_training_pipeline,
         "simhash_values": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
+        "dup_clusters": _q_dup_clusters,
         # text analysis family
         "text_stats": _q_textstats,
         "fingerprints": _q_fingerprints,
@@ -934,6 +946,25 @@ def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.05""",
         "training_pipeline": _training_pipeline_sql(),
+        # transitive closure of the simhash near-pair graph via a
+        # recursive CTE (DuckDB) vs iterative label propagation (Spark)
+        "dup_clusters": _simhash_ctes(300).replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        + """,
+            bands AS (SELECT doc_id, simhash AS sh, CAST(b.range AS INT) AS band,
+                             (simhash >> (CAST(b.range AS INT) * 15)) & 32767 AS key
+                      FROM s CROSS JOIN range(4) b),
+            prs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                    FROM bands a JOIN bands b2
+                      ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+            edges AS (SELECT doc_a AS s2, doc_b AS d2 FROM prs
+                      UNION SELECT doc_b, doc_a FROM prs),
+            reach AS (
+              SELECT DISTINCT s2 AS doc_id, s2 AS r FROM edges
+              UNION
+              SELECT e.s2, reach.r FROM edges e JOIN reach ON reach.doc_id = e.d2
+            )
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+            ORDER BY doc_id""",
         # ---- text analysis ----
         "text_stats": f"""
             WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),

@@ -230,6 +230,75 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return F.aggregate(set_bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive dedup clusters: connected components over the undirected
+    near-dup pair graph → (doc_id, cluster_id = min doc_id reachable).
+    A pair list says "a duplicates b"; training-data dedup needs the
+    CLOSURE (a~b, b~c ⇒ one cluster {a,b,c} keeping one representative).
+
+    Iterative min-label propagation, Spark-first: each round does (1) a
+    neighbor-min join+aggregate and (2) a pointer-doubling join
+    (label := min(label, label(label))), so convergence takes
+    O(log diameter) rounds, not O(diameter) — the two-join form of the
+    small-star/large-star trick. Each round localCheckpoints to cut plan
+    lineage (iterative algorithms otherwise stack every round into one
+    unbounded plan). Driver state: one `changed` count per round — nothing
+    proportional to the graph.
+
+    The star-pair skew guard upstream keeps over-cap duplicate classes
+    star-shaped (diameter ≤ 2 per band), so real corpora converge in a
+    handful of rounds."""
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = (
+        edges.unionByName(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["d"] == labels["doc_id"])
+            .groupBy("s").agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels["doc_id"] == nbr["s"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(labels["label"],
+                        F.coalesce(nbr["nbr_min"], labels["label"])).alias("label"),
+            )
+        )
+        ptr = stepped.select(F.col("doc_id").alias("p_id"), F.col("label").alias("p_label"))
+        doubled = (
+            stepped.join(ptr, stepped["label"] == ptr["p_id"], "left")
+            .select(
+                stepped["doc_id"],
+                F.least(stepped["label"],
+                        F.coalesce(ptr["p_label"], stepped["label"])).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -337,3 +337,24 @@ def test_multimodal_fixture_is_current():
     want = multimodal.expected_features_local(n=60, seed=42)
     got = pd.read_parquet(fx)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_connected_components_transitive_closure(spark):
+    """a~b, b~c collapse into one cluster with the min id as representative;
+    separate components stay separate; a 30-long chain converges well inside
+    the iteration cap (pointer doubling => O(log diameter) rounds)."""
+    from hora_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 130)]           # diameter 30
+    pairs = [(1, 2), (2, 3), (10, 11)] + chain
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert all(got[i] == 100 for i in range(100, 131))
+    # order of the pair columns must not matter (undirected)
+    rev = spark.createDataFrame([(b, a) for a, b in pairs], "doc_a long, doc_b long")
+    got_rev = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(rev).collect()}
+    assert got_rev == got
