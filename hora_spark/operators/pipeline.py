@@ -65,7 +65,12 @@ def prepare_training_corpus(
         rep.n_after_exact_dedup = exact.count()
 
     # 3. near-dup removal: LSH candidates → exact Jaccard verify → drop the
-    # HIGHER id of each confirmed pair (keep-first policy, deterministic)
+    # HIGHER id of each confirmed pair (keep-first policy, deterministic).
+    # NB this is PAIR-drop, not transitive-closure dedup: in a cluster
+    # whose confirmed pairs are (2,3),(1,3) it keeps {1,2} where closure
+    # dedup would keep {1}. Both policies are used in practice; for
+    # closure semantics feed the confirmed pairs through
+    # dedup.connected_components and keep cluster_id == doc_id rows.
     cands = dedup.minhash_lsh_candidates(
         exact, id_col=id_col, text_col=text_col,
         n_hashes=lsh_hashes, bands=lsh_bands, max_bucket=lsh_max_bucket,
