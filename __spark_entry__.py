@@ -20,6 +20,7 @@ aliased identically on both sides.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import tempfile
@@ -868,7 +869,15 @@ ORDER BY doc_id
 
 def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     """sf_dir parameterizes the one data-derived oracle (knn_ivf's
-    centroid literals); the driver calls this with no args at sf0.01."""
+    centroid literals); the driver calls this with no args at sf0.01.
+    Memoized per sf_dir (the knn_ivf entry reads parquet + runs k-means,
+    and the test harness calls this once per parametrized case); a fresh
+    dict is returned each call so callers can't corrupt the cache."""
+    return dict(_oracle_sql_cached(sf_dir))
+
+
+@functools.lru_cache(maxsize=8)
+def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
     sw = "', '".join(textstats.EN_STOPWORDS)
     o = {
         "doc_stats": BM25_CTES + "SELECT doc_id, dl FROM docs ORDER BY doc_id",
@@ -1031,7 +1040,6 @@ def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         # planes / IVF centroids are embedded as literals and the candidate
         # derivation + exact re-rank + recall re-computed in SQL
         "knn_lsh": _knn_lsh_sql(),
-        "knn_ivf": _knn_ivf_sql(sf_dir),
         # multimodal — hash-checked since round 3 against the committed
         # local-decode fixture (tools/make_multimodal_fixture.py): the same
         # deterministic payloads decoded in ONE process, so the check
@@ -1119,4 +1127,10 @@ def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
                    count(*) AS n_events, ROUND(sum(value), 6) AS total_value
             FROM s GROUP BY user_id, sno""",
     }
+    # knn_ivf's centroid literals are derived from the sf_dir's embeddings
+    # parquet at oracle-build time; if that file is absent (e.g. a partial
+    # test checkout) the entry is omitted — knn_ivf then falls back to the
+    # driver's weaker rows-only check instead of failing every oracle
+    if os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        o["knn_ivf"] = _knn_ivf_sql(sf_dir)
     return o

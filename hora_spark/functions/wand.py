@@ -76,7 +76,18 @@ class TermPosting:
                 dls = decode_block(self.dl_blocks[j], delta=False)
             else:  # store_dl=False layout: norms-sidecar lookup
                 nids, ndls = self.dl_lookup
-                dls = ndls[np.searchsorted(nids, ids)]
+                idx = np.searchsorted(nids, ids)
+                # a posting doc id missing from the sidecar (corrupt or
+                # mismatched snapshot) must fail LOUDLY — an unchecked
+                # gather would mis-score mid-array or IndexError at the end
+                if (idx >= len(nids)).any() or (
+                    nids[np.minimum(idx, len(nids) - 1)] != ids
+                ).any():
+                    raise ValueError(
+                        "posting doc id missing from norms sidecar "
+                        "(corrupt/mismatched snapshot)"
+                    )
+                dls = ndls[idx]
             got = (ids, tfs, dls)
             self._cache[j] = got
         return got

@@ -296,6 +296,15 @@ def connected_components(
         labels = doubled
         if changed == 0:
             break
+    else:
+        # returning silently here would hand back partially-propagated
+        # cluster ids with no signal; practically unreachable (pointer
+        # doubling handles diameter ~2^max_iter) but wrong-by-construction
+        # if it ever fires
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds (last round still changed {changed} labels)"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -190,9 +190,13 @@ def search_topk(
     n_del = int(meta.get("n_deletes", 0))
     if n_del > cfg.max_broadcast_deletes and store.exists("deletes", version):
         shard_size = int(meta["shard_size"])
+        # exact integer DIV, bit-identical to the build's numpy
+        # `ids // shard_size` — a double-precision `/` would round the
+        # quotient near 2^53 and silently map a tombstone to the wrong
+        # shard (this path exists precisely for the huge-corpus case)
         dels = store.read("deletes", version).select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("doc_id").cast("long") / F.lit(shard_size)).cast("int").alias("shard_id"),
+            F.expr(f"CAST(CAST(doc_id AS BIGINT) DIV {shard_size} AS INT)").alias("shard_id"),
         )
 
         def run_cg(seg_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -213,7 +213,15 @@ def merge_shard_rows(
         else:
             if nids is None:
                 raise ValueError("partial segment rows need norms rows for dl")
-            dls = ndls[np.searchsorted(nids, ids)]
+            idx = np.searchsorted(nids, ids)
+            if (idx >= len(nids)).any() or (
+                nids[np.minimum(idx, len(nids) - 1)] != ids
+            ).any():
+                raise ValueError(
+                    "posting doc id missing from norms rows "
+                    "(corrupt/mismatched segment set)"
+                )
+            dls = ndls[idx]
         ids_out.append(ids)
         tfs_out.append(tfs)
         dls_out.append(dls)

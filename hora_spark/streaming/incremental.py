@@ -87,7 +87,11 @@ def append_build(
     # (hora analog: a point inserted into a frozen graph can only link to
     # existing nodes). Segments store idf-free saturation maxima, so no
     # stats join is needed here at all.
-    tf = tf.withColumn("shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
+    # exact integer DIV (not float `/`): must be bit-identical to the
+    # build's numpy `ids // shard_size` even for doc ids near 2^53
+    tf = tf.withColumn(
+        "shard_id", F.expr(f"CAST(CAST(doc_id AS BIGINT) DIV {shard_size} AS INT)")
+    )
 
     k1, b = cfg.bm25.k1, cfg.bm25.b
     updates: dict[str, list[str]] = {}
@@ -141,7 +145,8 @@ def _compact_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConf
         shard_size = int(meta["shard_size"])
         dels = store.read("deletes").select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("doc_id").cast("long") / F.lit(shard_size)).cast("int").alias("shard_id"),
+            # exact integer DIV — same invariant as the query path
+            F.expr(f"CAST(CAST(doc_id AS BIGINT) DIV {shard_size} AS INT)").alias("shard_id"),
         )
 
         def run_cg(seg_pdf, del_pdf):

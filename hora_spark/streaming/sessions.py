@@ -94,13 +94,27 @@ def _make_fn(gap_ms: int):
             elif t - last_ms > gap_ms:
                 closed.append((start_ms, last_ms, n, total))
                 start_ms, last_ms, n, total = t, t, 0, 0.0
+            elif start_ms - t > gap_ms:
+                # VERY-late event, more than gap earlier than the open
+                # session's start: per the gap semantics it cannot belong
+                # to this session (the batch twin puts it in its own
+                # earlier session), so emit it as a closed singleton.
+                # Residual divergence vs batch, accepted: (a) two very-late
+                # events within gap of EACH OTHER become two singletons
+                # here but one session in batch; (b) a very-late event
+                # adjacent to an already-EMITTED session can never be
+                # merged into it (append mode can't retract). Both are
+                # bounded by the watermark delay.
+                closed.append((t, t, 1, v))
+                continue
             else:
                 # out-of-order events (late but above the watermark) may
                 # arrive in a later micro-batch with t < the checkpointed
                 # last_ms: they join the open session but must never REWIND
                 # it — last_ms only grows (keeps the event-time timeout and
                 # subsequent gap checks monotone) and session_start only
-                # shrinks (matching the batch twin's min(ts))
+                # shrinks (matching the batch twin's min(ts) for late
+                # events within gap of the session span)
                 start_ms = min(start_ms, t)
                 last_ms = max(last_ms, t)
             n += 1
