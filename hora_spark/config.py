@@ -53,10 +53,19 @@ class IndexConfig:
     """
 
     block_size: int = 128           # docs per compressed posting block
-    n_buckets: int = 64             # doc-range shards of the segment table
-                                    # (fixed by config, NOT core count —
-                                    # segment bytes must not depend on
-                                    # parallelism)
+    # Shard-count policy. Default (n_buckets=None) is ADAPTIVE: the build
+    # derives n_shards = ceil(id_span / target_docs_per_shard) (with a
+    # min_shards floor for small corpora) from the COUNTED corpus, so the
+    # one-partition-per-shard merge task's input — and therefore its
+    # memory — is bounded by target_docs_per_shard at ANY corpus size.
+    # A fixed count would make shard_size grow linearly with the corpus
+    # (at 10^12 turns a 64-shard layout holds ~1.6e10 docs/shard and the
+    # merge OOMs). n_buckets pins an exact count for tests / layouts that
+    # must not depend on corpus size. NEVER derived from parallelism:
+    # segment bytes stay identical at any core count either way.
+    n_buckets: int | None = None
+    target_docs_per_shard: int = 2_000_000
+    min_shards: int = 64
     # NB: no token-length knobs either — the tokenizer is pinned to
     # TOKEN_PATTERN below, because the DuckDB oracles re-derive it and
     # rank-identity is defined against that exact tokenization
@@ -68,6 +77,20 @@ class IndexConfig:
     # (the round-1 layout). The mode is recorded in the snapshot meta and
     # both paths return byte-identical scores.
     store_dl: bool = True
+
+    def n_shards_for(self, id_span: int) -> int:
+        """Shard count for a corpus occupying doc ids [0, id_span).
+
+        With the adaptive default, shard_size = ceil(id_span / n_shards)
+        ≤ target_docs_per_shard always holds (when the min_shards floor
+        dominates, id_span ≤ min_shards · target already), so per-shard
+        merge work is bounded by config, not corpus size — the analog of
+        IVFPQ sizing n_kmeans_center relative to the data
+        (/root/reference/src/index/pq_idx.rs:357-375)."""
+        if self.n_buckets is not None:
+            return self.n_buckets
+        span = max(1, int(id_span))
+        return max(self.min_shards, -(-span // self.target_docs_per_shard))
 
 
 @dataclass(frozen=True)

@@ -229,7 +229,6 @@ def build_index(
 
 
     cfg = cfg or EngineConfig()
-    n_shards = cfg.index.n_buckets
     dbg = os.environ.get("HORA_BUILD_DEBUG") == "1"
     t_start = time.perf_counter()
 
@@ -249,6 +248,11 @@ def build_index(
         meta = store.meta()
         shard_size = int(meta["shard_size"])
         max_id = int(meta["max_doc_id"])
+        # the resumed build must use the SAME shard count the original
+        # derived (adaptive counts depend on the id span, so re-deriving
+        # is equivalent; the stored value wins if present)
+        n_shards = int(meta.get("n_shards")
+                       or cfg.index.n_shards_for(max_id + 1))
         partials = store.read("partials")
         staged = True
     else:
@@ -262,6 +266,10 @@ def build_index(
             max_id = n_raw - 1
         else:
             max_id = int(df.agg(F.max(id_col)).collect()[0][0])
+        # shard count from the COUNTED id span (adaptive by default —
+        # bounds per-shard merge input by target_docs_per_shard; see
+        # IndexConfig.n_shards_for), then shard_size = ceil(span/n_shards)
+        n_shards = cfg.index.n_shards_for(max_id + 1)
         shard_size = max(1, (max_id + n_shards) // n_shards)
         _dbg("ids assigned")
 
@@ -274,7 +282,8 @@ def build_index(
         if staged:
             d_tf = store.write_table("partials", partials, partition_by=["shard_id"])
             store.commit({"partials": [d_tf]},
-                         meta={"shard_size": shard_size, "max_doc_id": max_id})
+                         meta={"shard_size": shard_size, "max_doc_id": max_id,
+                               "n_shards": n_shards})
             partials = store.read("partials")
 
     # ---- encode waves -------------------------------------------------------
