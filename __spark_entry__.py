@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from hora_spark.config import BM25Config, EngineConfig, IndexConfig
 from hora_spark.engine import Engine
-from hora_spark.functions.tokenize import tokens_col
+from hora_spark.functions.tokenize import (tokenize_py, tokenize_sql_array,
+                                           tokens_col)
 from hora_spark.operators import dedup, multimodal, similarity, textstats
 from hora_spark.operators.corpus import prepare
 from hora_spark.operators.oracle import bruteforce_topk
@@ -209,6 +210,42 @@ def _q_bm25_topk_per_source(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("source", "doc_id", F.round("score", 6).alias("score"), "rnk")
     )
+
+
+# mixed-language corpus for the unicode tokenizer mode: the documents
+# table augmented with deterministic non-ASCII suffixes (CJK / Cyrillic /
+# Arabic / accented Latin — NFC-safe literals), derived identically as an
+# expression on BOTH engines so no external data is needed
+UNI_TAGS = ["数据 处理", "данные поток", "بيانات نظام", "café über", "数据 поток"]
+UNI_QUERY = "数据 café данные"
+UNI_LIM = 400
+
+
+def _uni_docs(spark, sf_dir):
+    tags = F.array(*[F.lit(t) for t in UNI_TAGS])
+    return _docs(spark, sf_dir).filter(F.col("doc_id") < UNI_LIM).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" "),
+            F.element_at(tags, (F.col("doc_id") % 5).cast("int") + F.lit(1)),
+        ).alias("text"),
+    )
+
+
+def _q_bm25_unicode(spark, sf_dir):
+    """Unicode-mode index end to end: build over the mixed-language corpus
+    with IndexConfig(unicode=True), search a CJK+Latin+Cyrillic query
+    through the WAND path — non-ASCII turns are searchable, scores match
+    the DuckDB BM25 twin (unicode \\p{L}\\p{N} tokenizer) digit for digit."""
+    key = sf_dir + "#unicode"
+    if key not in _ENGINE_CACHE:
+        path = tempfile.mkdtemp(prefix="hora_idx_uni_")
+        eng = Engine(spark, path, EngineConfig(
+            index=IndexConfig(block_size=32, n_buckets=8, unicode=True)))
+        eng.build(_uni_docs(spark, sf_dir), id_col="doc_id")
+        _ENGINE_CACHE[key] = eng
+    res = _ENGINE_CACHE[key].search(UNI_QUERY, k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _q_topk_per_term(spark, sf_dir):
@@ -546,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_deleted": _q_bm25_deleted,
         "bm25_indexed_rebuilt": _q_bm25_rebuilt,
         "bm25_topk_per_source": _q_bm25_topk_per_source,
+        "bm25_topk_unicode": _q_bm25_unicode,
         "search_with_text": _q_search_with_text,
         "topk_per_term": _q_topk_per_term,
         # dedup family
@@ -631,6 +669,41 @@ SELECT doc_id, ROUND(s, 6) AS score FROM scored
 ORDER BY s DESC, doc_id ASC LIMIT {k}
 """
     )
+
+
+def _bm25_unicode_sql(k: int = K) -> str:
+    """Twin of _q_bm25_unicode: the SAME augmented corpus derived in SQL
+    (list-literal tag lookup on doc_id % 5), unicode tokenizer, full BM25."""
+    tags_sql = "['" + "','".join(UNI_TAGS) + "']"
+    uni_toks = tokenize_sql_array("text", unicode=True)
+    terms = sorted(set(tokenize_py(UNI_QUERY, unicode=True)))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH aug AS (SELECT doc_id,
+        coalesce(text, '') || ' ' || ({tags_sql})[CAST(doc_id % 5 AS INT) + 1] AS text
+      FROM documents WHERE doc_id < {UNI_LIM}),
+tok AS (SELECT doc_id, {uni_toks} AS toks FROM aug),
+docs AS (SELECT doc_id, len(toks) AS dl FROM tok WHERE len(toks) > 0),
+tfx AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+        GROUP BY doc_id, term),
+stats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM docs),
+dfs AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  CROSS JOIN stats
+  GROUP BY tfx.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _bm25_grouped_sql(terms: list[str], per_group: int = 3) -> str:
@@ -906,6 +979,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_indexed_deleted": _bm25_sql(HOT_QUERY, exclude=DELETED_IDS),
         "bm25_indexed_rebuilt": _bm25_sql(MID_QUERY),
         "bm25_topk_per_source": _bm25_grouped_sql(HOT_QUERY),
+        "bm25_topk_unicode": _bm25_unicode_sql(),
         "search_with_text": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text "

@@ -12,6 +12,12 @@ Package and submit:
 
 The master/deploy-mode/executors come from spark-submit; get_spark only
 forces local[] when no master was provided (HORA_SPARK_MASTER overrides).
+
+Non-ASCII queries (the --unicode tokenizer mode): run spark-submit under a
+UTF-8 locale, e.g. `LANG=C.UTF-8 spark-submit ...` — under the POSIX
+default the JVM launcher decodes argv as ASCII and replaces CJK/Cyrillic
+bytes with '?', losing them before Python ever starts (the CLI warns when
+a query looks mangled that way).
 """
 
 from __future__ import annotations
@@ -38,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="space-lean layout: no per-posting dl blocks "
                         "(~25%% smaller index; queries read the norms "
                         "sidecar instead — identical scores)")
+    b.add_argument("--unicode", action="store_true",
+                   help="tokenize Unicode letter/digit runs instead of "
+                        "the ASCII [a-z0-9]+ default — CJK/Cyrillic/"
+                        "Arabic text becomes searchable; queries follow "
+                        "the index's recorded mode automatically")
 
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
@@ -88,6 +99,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.no_store_dl:
             cfg = dataclasses.replace(
                 cfg, index=dataclasses.replace(cfg.index, store_dl=False))
+        if args.unicode:
+            cfg = dataclasses.replace(
+                cfg, index=dataclasses.replace(cfg.index, unicode=True))
         eng = Engine(spark, args.index, cfg)
         out = eng.build(
             spark.read.parquet(args.input),
@@ -100,6 +114,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(out))
     elif args.cmd == "search":
+        # '?' is punctuation in both tokenizer modes (never a token), so a
+        # query of only ?s is always the JVM-launcher locale mangling
+        if any(q.strip() and set(q.strip()) <= {"?", " "} for q in args.query):
+            print("WARNING: query looks locale-mangled (all '?'); run "
+                  "spark-submit under a UTF-8 locale, e.g. LANG=C.UTF-8, "
+                  "so non-ASCII argv survives the JVM launcher",
+                  file=sys.stderr)
         eng = Engine(spark, args.index)
         res = eng.searches(args.query, k=args.k, prune=not args.no_prune)
         for r in res.collect():

@@ -77,6 +77,12 @@ class IndexConfig:
     # (the round-1 layout). The mode is recorded in the snapshot meta and
     # both paths return byte-identical scores.
     store_dl: bool = True
+    # tokenizer mode: False = pinned ASCII [a-z0-9]+ (the round-1..3
+    # default; non-Latin text tokenizes to dl=0 and is counted-dropped),
+    # True = Unicode letter/digit runs (TOKEN_SPLIT_RE_UNICODE above).
+    # Recorded in the snapshot meta; queries tokenize with the INDEX's
+    # mode, not the caller's cfg — one index, one tokenizer.
+    unicode: bool = False
 
     def n_shards_for(self, id_span: int) -> int:
         """Shard count for a corpus occupying doc ids [0, id_span).
@@ -115,3 +121,19 @@ class EngineConfig:
 # non-runs) are the same tokenization expressed both ways.
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 TOKEN_PATTERN = "[a-z0-9]+"
+
+# UNICODE mode (IndexConfig.unicode=True): tokens are runs of Unicode
+# letters/digits (categories L* and N*), lowercased — so CJK / Cyrillic /
+# Arabic / accented text indexes instead of silently tokenizing to dl=0.
+# Three pinned expressions of the SAME class:
+#   - Java (Spark F.split) and RE2 (DuckDB string_split_regex) use
+#     \p{L}\p{N} property classes;
+#   - Python re has no \p, so the run pattern is [^\W_] (= \w minus
+#     underscore) with re.UNICODE — verified equal on the parity fixture.
+# Pinned guarantee scope: NFC-normalized text. (Divergence otherwise:
+# DuckDB's utf8proc lower() NFC-normalizes decomposed sequences — e+U+0301
+# becomes é — while Python/Java lower() do not, so a decomposed input
+# tokenizes differently across engines. Combining marks themselves are Mn,
+# outside the class, in all three engines.)
+TOKEN_SPLIT_RE_UNICODE = r"[^\p{L}\p{N}]+"      # Java + RE2
+TOKEN_PATTERN_UNICODE_PY = r"[^\W_]+"           # Python re twin

@@ -277,7 +277,8 @@ def build_index(
         # (postings pre-packed per (shard, term) per batch: the shuffle and
         # every Arrow boundary carries ~|vocab|·|batches| blob rows instead
         # of |postings| string rows)
-        partials = map_partial_segments(df, text_col, id_col, shard_size)
+        partials = map_partial_segments(df, text_col, id_col, shard_size,
+                                        unicode=cfg.index.unicode)
         staged = waves > 1
         if staged:
             d_tf = store.write_table("partials", partials, partition_by=["shard_id"])
@@ -344,6 +345,8 @@ def build_index(
             # layout mode: queries read it to decide whether per-posting
             # dl_blocks exist or the norms sidecar must be scanned
             "store_dl": cfg.index.store_dl,
+            # tokenizer mode: queries MUST tokenize with the index's mode
+            "unicode": cfg.index.unicode,
         },
     )
     _dbg("stats+lineage committed")

@@ -28,8 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from hora_spark.config import TOKEN_PATTERN, EngineConfig
+from hora_spark.config import EngineConfig
 from hora_spark.functions.bm25 import idf_col
+from hora_spark.functions.tokenize import token_run_regex
 
 
 def assign_doc_ids(
@@ -93,12 +94,14 @@ class Corpus:
     term_stats: DataFrame  # term, df, idf
     n_docs: int
     avgdl: float
+    unicode: bool = False  # tokenizer mode the tables were built with
 
 
 TF_SCHEMA = "doc_id long, dl int, term string, tf int"
 
 
-def tf_map_side(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def tf_map_side(df: DataFrame, text_col: str, id_col: str,
+                unicode: bool = False) -> DataFrame:
     """One Arrow pass: (id, text) → (doc_id, dl, term, tf) rows.
 
     Vectorized: pandas str.findall extracts the pinned token runs, a single
@@ -110,11 +113,13 @@ def tf_map_side(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     import numpy as np
 
+    token_re = token_run_regex(unicode)
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_PATTERN)
+            toks = pdf[text_col].fillna("").str.lower().str.findall(token_re)
             dl = toks.str.len().to_numpy(np.int64)
             ids = pdf[id_col].to_numpy(np.int64)
             keep = dl > 0
@@ -151,6 +156,7 @@ def prepare(
     order_cols: list[str] | None = None,
     cfg: EngineConfig | None = None,
     use_pandas_udf: bool = True,  # kept for API compat; tf is always Arrow
+    unicode: bool = False,
 ) -> Corpus:
     """text table → Corpus. If id_col is None, assigns doc_id by dense rank
     over order_cols. The tf DataFrame is persisted (it feeds several
@@ -160,7 +166,7 @@ def prepare(
         df = assign_doc_ids(df, order_cols or ["conv_id", "turn_idx"])
         id_col = "doc_id"
 
-    tf = tf_map_side(df, text_col, id_col).withColumnRenamed(id_col, "doc_id")
+    tf = tf_map_side(df, text_col, id_col, unicode=unicode).withColumnRenamed(id_col, "doc_id")
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
 
     stats_row = tf.agg(
@@ -175,4 +181,5 @@ def prepare(
         .withColumn("idf", idf_col(F.lit(n_docs), F.col("df"), cfg.bm25))
     )
     docs = tf.select("doc_id", "dl").distinct()
-    return Corpus(docs=docs, tf=tf, term_stats=term_stats, n_docs=n_docs, avgdl=avgdl)
+    return Corpus(docs=docs, tf=tf, term_stats=term_stats, n_docs=n_docs,
+                  avgdl=avgdl, unicode=unicode)

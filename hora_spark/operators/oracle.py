@@ -28,8 +28,9 @@ def query_terms_df(spark, query: str, corpus: Corpus, cfg: EngineConfig) -> Data
     """Tokenize the query with THE SAME tokenizer, dedup terms, attach idf.
 
     Duplicate query terms are scored once (standard bag-of-words BM25 over
-    the distinct query vocabulary; pinned convention for all paths)."""
-    terms = sorted(set(tokenize_py(query)))
+    the distinct query vocabulary; pinned convention for all paths). The
+    tokenizer mode follows the CORPUS's (one corpus, one tokenizer)."""
+    terms = sorted(set(tokenize_py(query, unicode=corpus.unicode)))
     if not terms:
         terms = ["\x00__no_such_term__"]
     qdf = spark.createDataFrame([(t,) for t in terms], "term string")

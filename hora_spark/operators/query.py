@@ -143,7 +143,10 @@ def search_topk(
     avgdl = float(meta["avgdl"])
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
-    q_terms = [sorted(set(tokenize_py(q))) for q in queries]
+    # tokenize with the INDEX's pinned mode (recorded at build time) —
+    # a unicode-built index must see unicode query terms and vice versa
+    uni = bool(meta.get("unicode", False))
+    q_terms = [sorted(set(tokenize_py(q, unicode=uni))) for q in queries]
     all_terms = sorted({t for ts in q_terms for t in ts})
     if not all_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)

@@ -38,8 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hora_spark.config import TOKEN_PATTERN
 from hora_spark.functions.codec import decode_block, decode_posting, encode_block
+from hora_spark.functions.tokenize import token_run_regex
 
 SEGMENT_SCHEMA = (
     "shard_id int, term string, df_local long, "
@@ -50,7 +50,8 @@ SEGMENT_SCHEMA = (
 )
 # reserved doc-length sidecar row per shard: doc ids delta-packed in
 # doc_blocks[0], dls fixed-width packed in tf_blocks[0], Σdl in
-# block_tf_max[0]. \x00 can never appear in a token ([a-z0-9]+).
+# block_tf_max[0]. \x00 can never appear in a token in EITHER tokenizer
+# mode (it is neither [a-z0-9] nor a Unicode letter/digit — category Cc).
 NORMS_TERM = "\x00norms"
 
 _DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
@@ -241,19 +242,21 @@ def merge_shard_rows(
 
 
 def map_partial_segments(
-    df: DataFrame, text_col: str, id_col: str, shard_size: int
+    df: DataFrame, text_col: str, id_col: str, shard_size: int,
+    unicode: bool = False,
 ) -> DataFrame:
     """The build's map side: one Arrow pass over (id, text) emitting
     PARTIAL segment rows — per (shard, term) of each batch, a single-block
     posting (sorted by doc_id), plus one partial norms row per shard.
     All heavy lifting is numpy; term strings materialize only once per
-    distinct term per batch."""
+    distinct term per batch. unicode selects the pinned tokenizer mode."""
+    token_re = token_run_regex(unicode)
 
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_PATTERN)
+            toks = pdf[text_col].fillna("").str.lower().str.findall(token_re)
             dl = toks.str.len().to_numpy(np.int64)
             ids = pdf[id_col].to_numpy(np.int64)
             keep = dl > 0

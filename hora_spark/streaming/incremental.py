@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from hora_spark.config import EngineConfig
 from hora_spark.operators.segments import SEGMENT_SCHEMA, encode_shard_rows, merge_shard_rows
 from hora_spark.operators.corpus import assign_doc_ids
-from hora_spark.functions.tokenize import tokenize_udf
+from hora_spark.functions.tokenize import get_tokenize_udf
 from hora_spark.sources.storage import SnapshotStore
 
 
@@ -61,7 +61,10 @@ def append_build(
     with_ids = assign_doc_ids(new_df, order_cols or ["conv_id", "turn_idx"]).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base_id)
     )
-    base_all = with_ids.withColumn("terms", tokenize_udf(F.col(text_col))).withColumn(
+    # appended rows tokenize with the INDEX's pinned mode (one index, one
+    # tokenizer — same rule as the store_dl layout below)
+    tok_udf = get_tokenize_udf(bool(meta.get("unicode", False)))
+    base_all = with_ids.withColumn("terms", tok_udf(F.col(text_col))).withColumn(
         "dl", F.size("terms")
     )
     # next_doc_id must advance by the PRE-filter count: assign_doc_ids
@@ -237,7 +240,7 @@ def rebuild(
     passthrough = {
         k: meta[k]
         for k in ("shard_size", "n_shards", "max_doc_id", "next_doc_id",
-                  "bm25", "store_dl")
+                  "bm25", "store_dl", "unicode")
         if k in meta
     }
     _commit_stats_and_lineage(
