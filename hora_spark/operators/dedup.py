@@ -230,6 +230,23 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return F.aggregate(set_bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate plan lineage between iterative rounds.
+
+    Uses RELIABLE checkpoint (written to the configured checkpoint dir —
+    HDFS/S3 on a cluster — and recoverable after executor loss) whenever
+    `SparkContext.setCheckpointDir` has been called; otherwise falls back
+    to localCheckpoint. The fallback stores blocks on executors AND
+    truncates lineage, so on a real cluster an executor loss after a
+    checkpointed round kills the job unrecoverably — acceptable in the
+    single-JVM sandbox, but production clusters should set a checkpoint
+    dir (the r3 verdict's durability caveat, now a config switch)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -245,9 +262,12 @@ def connected_components(
     neighbor-min join+aggregate and (2) a pointer-doubling join
     (label := min(label, label(label))), so convergence takes
     O(log diameter) rounds, not O(diameter) — the two-join form of the
-    small-star/large-star trick. Each round localCheckpoints to cut plan
+    small-star/large-star trick. Each round checkpoints to cut plan
     lineage (iterative algorithms otherwise stack every round into one
-    unbounded plan). Driver state: one `changed` count per round — nothing
+    unbounded plan) — RELIABLE checkpoint when a checkpoint dir is set,
+    localCheckpoint fallback otherwise (see _cut_lineage for the cluster
+    durability trade). Driver state: one `changed` count per round — an
+    extra Spark job per round, fine at O(log d) rounds, and nothing
     proportional to the graph.
 
     The star-pair skew guard upstream keeps over-cap duplicate classes
@@ -257,13 +277,13 @@ def connected_components(
     edges = (
         edges.unionByName(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = _cut_lineage(edges)
     labels = (
         edges.select(F.col("s").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
+    labels = _cut_lineage(labels)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["d"] == labels["doc_id"])
@@ -285,8 +305,8 @@ def connected_components(
                 F.least(stepped["label"],
                         F.coalesce(ptr["p_label"], stepped["label"])).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        doubled = _cut_lineage(doubled)
         changed = (
             doubled.alias("n")
             .join(labels.alias("o"), "doc_id")
