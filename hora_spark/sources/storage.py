@@ -8,22 +8,25 @@ SNAPSHOT — an immutable manifest listing the parquet files of each logical
 table (segments, lineage, stats) — and a restarted build resumes from the
 last committed snapshot by anti-joining completed work out of the plan.
 
-Layout (works on any Hadoop-compatible FS; local dir in the sandbox):
+Layout (works on any Hadoop-compatible FS — local dir, file:/, HDFS, S3A):
 
     <root>/data/<table>/<uuid>/part-*.parquet     immutable data dirs
     <root>/snapshots/v00000001.json               manifest per commit
-    <root>/snapshots/CURRENT                      pointer file
+    <root>/snapshots/CURRENT                      advisory pointer
 
 A manifest maps table name → list of data dirs. Commits are atomic via
-write-temp + rename. `read(table, version)` gives time travel
-(`VERSION AS OF` semantics).
+write-temp + FileSystem.rename (rename refuses an existing destination, so
+two concurrent committers cannot both publish the same version — one gets
+a RuntimeError). The CURRENT file is advisory/human-readable only; the
+source of truth for `current_version` is the manifest listing, so a
+torn/missing pointer can never mis-resolve the head. `read(table,
+version)` gives time travel (`VERSION AS OF` semantics).
 
-Filesystem scope: DATA dirs are read/written through Spark, so they work
-on any Hadoop-compatible FS — but MANIFEST I/O and `expire_snapshots` GC
-use the local filesystem (os/json/shutil) and are local-FS-only in this
-sandbox. On HDFS/S3 the remote-capable path is the Iceberg mapping below
-(Iceberg's own metadata layer + `expire_snapshots` procedure replace this
-class's manifests and GC wholesale), not a Hadoop-FS port of this file.
+Filesystem scope: DATA dirs go through Spark readers/writers and ALL
+manifest I/O + `expire_snapshots` GC go through the Hadoop FileSystem API
+resolved from the root path's scheme — the whole store works on HDFS/S3A
+unchanged (round-4 closes the r3 caveat that manifests were os/json/shutil
+local-only).
 
 Iceberg mapping (not implemented here — the sandbox has no Iceberg runtime
 jars; this store IS the same shape): each logical table becomes a real
@@ -31,14 +34,12 @@ Iceberg table (`write_table`/`commit` → `df.writeTo(t).append()` or
 `.overwritePartitions()`, one engine commit per Iceberg snapshot),
 `current_version`/`read(version=)` → Iceberg snapshot ids + `VERSION AS
 OF`, `meta` → table properties, `drop` → `DROP TABLE`. The engine only
-touches this class's six methods, so the swap is local to this file.
+touches this class's methods, so the swap is local to this file.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,24 +48,60 @@ from pyspark.sql import DataFrame, SparkSession
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.root = root.rstrip("/")
+        sc = spark.sparkContext
+        self._P = sc._jvm.org.apache.hadoop.fs.Path
+        self._IOUtils = sc._jvm.org.apache.commons.io.IOUtils
+        self._fs = self._P(self.root).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+        self._fs.mkdirs(self._P(f"{self.root}/snapshots"))
+        self._fs.mkdirs(self._P(f"{self.root}/data"))
+
+    # ------------------------------------------------------- fs helpers --
+    def _read_text(self, path: str) -> str:
+        ins = self._fs.open(self._P(path))
+        try:
+            return bytes(self._IOUtils.toByteArray(ins)).decode("utf-8")
+        finally:
+            ins.close()
+
+    def _write_text(self, path: str, data: str, overwrite: bool = True) -> None:
+        out = self._fs.create(self._P(path), overwrite)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _snapshot_versions(self) -> list[int]:
+        d = self._P(f"{self.root}/snapshots")
+        if not self._fs.exists(d):
+            return []
+        out = []
+        for st in self._fs.listStatus(d):
+            n = st.getPath().getName()
+            if n.startswith("v") and n.endswith(".json"):
+                try:
+                    out.append(int(n[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
 
     # ------------------------------------------------------------- reads --
     def current_version(self) -> int:
-        cur = os.path.join(self.root, "snapshots", "CURRENT")
-        if not os.path.exists(cur):
-            return 0
-        with open(cur) as f:
-            return int(f.read().strip())
+        """Newest committed manifest. Derived from the manifest LISTING,
+        not the CURRENT pointer: the manifest rename is the commit point,
+        so the listing can never be ahead of or behind a torn pointer."""
+        vs = self._snapshot_versions()
+        return vs[-1] if vs else 0
 
     def _manifest(self, version: int) -> dict:
         if version == 0:
             return {"tables": {}}
-        p = os.path.join(self.root, "snapshots", f"v{version:08d}.json")
-        with open(p) as f:
-            return json.load(f)
+        p = f"{self.root}/snapshots/v{version:08d}.json"
+        if not self._fs.exists(self._P(p)):
+            raise FileNotFoundError(f"no snapshot manifest {p} (expired?)")
+        return json.loads(self._read_text(p))
 
     def tables(self, version: int | None = None) -> dict[str, list[str]]:
         v = self.current_version() if version is None else version
@@ -91,8 +128,8 @@ class SnapshotStore:
     def stage_dir(self, table: str) -> str:
         """A fresh immutable data dir for a pending commit. Writers (tasks)
         may write directly into it; it becomes visible only on commit."""
-        d = os.path.join(self.root, "data", table, uuid.uuid4().hex)
-        os.makedirs(d, exist_ok=True)
+        d = f"{self.root}/data/{table}/{uuid.uuid4().hex}"
+        self._fs.mkdirs(self._P(d))
         return d
 
     def write_table(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
@@ -108,7 +145,9 @@ class SnapshotStore:
         """Atomically publish a new snapshot. updates: table → data dirs.
         replace=True swaps the table's dirs; False appends to them.
         drop: tables removed from the new manifest (e.g. the deletes
-        tombstone table after compaction physically removed the rows)."""
+        tombstone table after compaction physically removed the rows).
+        Raises on a concurrent commit of the same version (the manifest
+        rename refuses an existing destination)."""
         v = self.current_version()
         manifest = self._manifest(v)
         tables = manifest["tables"]
@@ -123,15 +162,18 @@ class SnapshotStore:
         merged_meta = dict(manifest.get("meta", {}))
         merged_meta.update(meta or {})
         out = {"version": nv, "parent": v, "tables": tables, "meta": merged_meta}
-        snap_dir = os.path.join(self.root, "snapshots")
-        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(snap_dir, f"v{nv:08d}.json"))
-        tmp2 = os.path.join(snap_dir, f".cur-{uuid.uuid4().hex}")
-        with open(tmp2, "w") as f:
-            f.write(str(nv))
-        os.replace(tmp2, os.path.join(snap_dir, "CURRENT"))
+        snap = f"{self.root}/snapshots"
+        tmp = f"{snap}/.tmp-{uuid.uuid4().hex}"
+        self._write_text(tmp, json.dumps(out, indent=1, sort_keys=True))
+        final = f"{snap}/v{nv:08d}.json"
+        if not self._fs.rename(self._P(tmp), self._P(final)):
+            self._fs.delete(self._P(tmp), False)
+            raise RuntimeError(
+                f"concurrent commit detected: {final} already exists"
+            )
+        # advisory human-readable pointer; never read back (see
+        # current_version), so a torn write here is harmless
+        self._write_text(f"{snap}/CURRENT", str(nv))
         return nv
 
     def meta(self, version: int | None = None) -> dict:
@@ -152,9 +194,9 @@ class SnapshotStore:
 
     def drop(self) -> None:
         """clear() analog (/root/reference/src/core/ann_index.rs:110)."""
-        shutil.rmtree(self.root, ignore_errors=True)
-        os.makedirs(os.path.join(self.root, "snapshots"), exist_ok=True)
-        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        self._fs.delete(self._P(self.root), True)
+        self._fs.mkdirs(self._P(f"{self.root}/snapshots"))
+        self._fs.mkdirs(self._P(f"{self.root}/data"))
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg `expire_snapshots` analog: keep only the newest
@@ -162,38 +204,42 @@ class SnapshotStore:
         references. Time travel to expired versions stops working (like
         Iceberg); the CURRENT snapshot is never touched. Returns counts.
 
+        Works on any Hadoop FS (the GC walks and deletes via the
+        FileSystem API). Unreferenced dirs are matched by their unique
+        uuid leaf name, so the comparison is scheme-insensitive.
+
         Maintenance op: like Iceberg's orphan-file cleanup, run it while no
         writer is mid-commit — a dir staged but not yet committed is not
         referenced by any manifest and would be collected."""
         cur = self.current_version()
-        snap_dir_p = os.path.join(self.root, "snapshots")
+        on_disk = set(self._snapshot_versions())
         keep_versions = [
             v for v in range(max(1, cur - keep_last + 1), cur + 1)
             # a previous expire may already have removed manifests inside
             # the window — keep only the ones still on disk
-            if os.path.exists(os.path.join(snap_dir_p, f"v{v:08d}.json"))
+            if v in on_disk
         ]
         referenced: set[str] = set()
         for v in keep_versions:
             for dirs in self._manifest(v)["tables"].values():
-                referenced.update(dirs)
+                referenced.update(d.rstrip("/").rsplit("/", 1)[-1] for d in dirs)
         removed_dirs = 0
-        data_root = os.path.join(self.root, "data")
-        for table in os.listdir(data_root):
-            tdir = os.path.join(data_root, table)
-            for d in os.listdir(tdir):
-                full = os.path.join(tdir, d)
-                if full not in referenced:
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed_dirs += 1
+        data_root = self._P(f"{self.root}/data")
+        if self._fs.exists(data_root):
+            for t_st in self._fs.listStatus(data_root):
+                if not t_st.isDirectory():
+                    continue
+                for d_st in self._fs.listStatus(t_st.getPath()):
+                    if d_st.getPath().getName() not in referenced:
+                        self._fs.delete(d_st.getPath(), True)
+                        removed_dirs += 1
         removed_manifests = 0
-        snap_dir = os.path.join(self.root, "snapshots")
-        for f in os.listdir(snap_dir):
-            if f.startswith("v") and f.endswith(".json"):
-                v = int(f[1:-5])
-                if v not in keep_versions:
-                    os.remove(os.path.join(snap_dir, f))
-                    removed_manifests += 1
+        for v in on_disk:
+            if v not in keep_versions:
+                self._fs.delete(
+                    self._P(f"{self.root}/snapshots/v{v:08d}.json"), False
+                )
+                removed_manifests += 1
         return {"kept_versions": keep_versions,
                 "removed_dirs": removed_dirs,
                 "removed_manifests": removed_manifests}
