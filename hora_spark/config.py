@@ -107,6 +107,12 @@ class EngineConfig:
     # everywhere (oracle, WAND path, SQL oracles). The analog of hora's
     # Neighbor ordering (/root/reference/src/core/neighbor.rs:30-34).
     k_default: int = 10
+    # merge-on-read ceiling: every append commits one more segments dir,
+    # and each query's per-(shard, term) work grows with the number of
+    # posting sources. When an append pushes the dir count ABOVE this,
+    # append_build compacts automatically (one row per (shard, term)
+    # again; results unchanged — stats stay frozen). None disables.
+    max_delta_batches: int | None = 16
     # tombstone sets at or below this many ids are collected to the driver
     # and broadcast (8 bytes/id → ≤ ~8 MB); above it the query and
     # compaction paths switch to a shard-aligned cogroup so the delete set

@@ -125,7 +125,18 @@ def append_build(
         meta={"n_docs": n_docs_old + n_new, "next_doc_id": base_id + n_raw,
               "last_batch_id": batch_id},
     )
-    return {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}
+    out = {"version": v, "n_new_docs": n_new, "base_doc_id": base_id}
+    # auto-compaction: merge-on-read cost grows with the number of
+    # appended dirs per term, so once the segments table exceeds
+    # max_delta_batches dirs, compact back to one row per (shard, term).
+    # Results are unchanged (stats stay frozen; tombstones — if any —
+    # become physical, same as an explicit merge_segments call).
+    if (cfg.max_delta_batches is not None
+            and len(store.tables().get("segments", [])) > cfg.max_delta_batches):
+        _compact_segments(spark, store, cfg)
+        out["compacted"] = True
+        out["version"] = store.current_version()
+    return out
 
 
 def _compact_segments(spark: SparkSession, store: SnapshotStore, cfg: EngineConfig) -> str:

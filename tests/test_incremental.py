@@ -171,3 +171,51 @@ def test_append_all_tokenless_batch(spark, tmp_path):
     assert len(eng.store.tables()["segments"]) == n_seg_dirs0
     assert int(eng.store.meta()["next_doc_id"]) == next0 + 1
     assert [r["doc_id"] for r in eng.search("alpha", k=5).collect()] == [0]
+
+
+def test_auto_compaction_bounds_posting_sources(spark, split_data, tmp_path):
+    """max_delta_batches: appends accumulate segment dirs (merge-on-read
+    posting sources) only up to the ceiling — the append that exceeds it
+    compacts back to ONE dir, and search results are identical to a twin
+    engine that never compacted."""
+    base, extra = split_data
+    slices = [extra.filter(F.col("conv_id") < "xconv00000008"),
+              extra.filter((F.col("conv_id") >= "xconv00000008")
+                           & (F.col("conv_id") < "xconv00000016")),
+              extra.filter(F.col("conv_id") >= "xconv00000016")]
+
+    import dataclasses
+    cfg_auto = dataclasses.replace(CFG, max_delta_batches=2)
+    cfg_off = dataclasses.replace(CFG, max_delta_batches=None)
+
+    engines = {}
+    for name, cfg in (("auto", cfg_auto), ("off", cfg_off)):
+        eng = Engine(spark, str(tmp_path / name), cfg)
+        eng.build(base, id_col=None, order_cols=["conv_id", "turn_idx"])
+        compactions = 0
+        for i, sl in enumerate(slices):
+            out = append_build(spark, eng.store, sl, cfg=cfg,
+                               batch_id=f"d{i}")
+            compactions += int(bool(out.get("compacted")))
+            # the invariant queries rely on: posting sources per term
+            # never exceed ceiling + 1 (the dir that tripped it compacts
+            # within the same append call)
+            if cfg.max_delta_batches is not None:
+                assert len(eng.store.tables()["segments"]) <= cfg.max_delta_batches
+        engines[name] = (eng, compactions)
+
+    # off: 1 base + 3 deltas accumulate; auto: the append that exceeded
+    # the ceiling (build+2 deltas = 3 dirs > 2) compacted to 1, then the
+    # final delta appended on top
+    assert len(engines["off"][0].store.tables()["segments"]) == 4
+    assert engines["off"][1] == 0
+    assert len(engines["auto"][0].store.tables()["segments"]) == 2
+    assert engines["auto"][1] == 1
+
+    for q in QUERIES:
+        a = engines["auto"][0].search(q, k=20).collect()
+        b = engines["off"][0].search(q, k=20).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b], q
+    for name in engines:
+        shutil.rmtree(str(tmp_path / name), ignore_errors=True)
