@@ -201,8 +201,10 @@ def jaccard_pairs(
 # ------------------------------------------------------------- SimHash ---
 
 def simhash_col(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash via bitwise majority over token md5s (first 15 hex
-    chars → bigint via conv). Built-ins only, ONE pass over the token-hash
+    """60-bit SimHash via bitwise majority over token md5s (first 15 hex
+    chars → bigint via conv — 60 of the hash's 64 bits, deliberately, so
+    the value round-trips DuckDB's signed BIGINT for the oracle; the
+    `bits` param is kept for API shape only). Built-ins only, ONE pass over the token-hash
     array: an F.aggregate with a 60-counter accumulator (zip_with against
     a literal mask array) replaces the previous 60 separate F.filter
     traversals — O(60·|tokens|) expression evals either way, but one array
