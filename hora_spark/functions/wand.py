@@ -164,6 +164,7 @@ def shard_topk(
     b: float,
     prune: bool = True,
     batch_docs: int = 8192,
+    first_batch_docs: int | None = None,
     deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
@@ -171,6 +172,12 @@ def shard_topk(
     terms MUST be in sorted term order (pinned summation order).
     prune=False is the exhaustive decode-all path (test oracle).
     deleted: sorted tombstoned doc ids, excluded from results exactly.
+    first_batch_docs: smaller width cap used while θ is still −inf — a
+    SOUND early-θ seed (θ only ever comes from actually-scored docs; a
+    cross-shard seed from block upper bounds would be unsound because a
+    bound need not be attained by any doc). Establishing θ after less
+    decoded width lets later batches skip more; None = batch_docs
+    (measured A/B in tools/theta_ab.py, PLANS.md §3).
     """
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -211,6 +218,7 @@ def shard_topk(
     top_ids = np.empty(0, np.int64)
     top_scores = np.empty(0, np.float64)
     theta = -np.inf
+    first_cap = first_batch_docs or batch_docs
     pos = 0
     while pos < len(order):
         # strict <: a doc can ATTAIN ub (max in every covering block), and a
@@ -218,11 +226,13 @@ def shard_topk(
         # ub == θ would break exact tie-break identity with the oracle
         if ub[order[pos]] < theta and len(top_ids) >= k:
             break  # every remaining interval is provably below θ
-        # take a batch of intervals (bounded decoded width)
+        # take a batch of intervals (bounded decoded width); while θ is
+        # still unset, the smaller first_cap applies
+        cap = batch_docs if theta > -np.inf else first_cap
         batch = [order[pos]]
         width = int(hi_edges[order[pos]] - lo_edges[order[pos]] + 1)
         pos += 1
-        while pos < len(order) and width < batch_docs:
+        while pos < len(order) and width < cap:
             nxt = order[pos]
             if ub[nxt] < theta and len(top_ids) >= k:
                 break
