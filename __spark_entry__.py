@@ -171,6 +171,17 @@ def _q_bm25_rebuilt(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_filtered(spark, sf_dir):
+    """Filtered search through the WAND path: exact top-k among ONLY the
+    lang='en' docs ('search just the English turns'), scores frozen at the
+    unfiltered global-stats values (the deletes convention inverted).
+    Oracle: the same BM25 SQL with an IN-subquery pre-top-k filter."""
+    eng = _engine(spark, sf_dir)
+    fdf = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    res = eng.search_filtered(" ".join(HOT_QUERY), fdf, k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_search_with_text(spark, sf_dir):
     """The `search_nodes` surface (ann_index.rs:81-84) on the driver gate:
     WAND top-k + broadcast join-back to the payload table — doc_id, score,
@@ -584,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_rebuilt": _q_bm25_rebuilt,
         "bm25_topk_per_source": _q_bm25_topk_per_source,
         "bm25_topk_unicode": _q_bm25_unicode,
+        "bm25_topk_filtered": _q_bm25_filtered,
         "search_with_text": _q_search_with_text,
         "topk_per_term": _q_topk_per_term,
         # dedup family
@@ -641,14 +653,21 @@ dfs AS (SELECT term, count(*) AS df FROM tfx GROUP BY term)
 """
 
 
-def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None) -> str:
+def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
+              keep_where: str | None = None) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
-    stats stay over all docs), matching frozen-stats delete semantics."""
+    stats stay over all docs), matching frozen-stats delete semantics.
+    keep_where: SQL predicate over the documents table selecting the
+    ALLOWED doc ids (filtered search) — same pre-top-k, stats-global
+    convention, inverted."""
     vals = ", ".join(f"('{t}')" for t in terms)
-    filt = (
-        f"WHERE tfx.doc_id NOT IN ({', '.join(str(int(i)) for i in exclude)})"
-        if exclude else ""
-    )
+    if exclude:
+        filt = f"WHERE tfx.doc_id NOT IN ({', '.join(str(int(i)) for i in exclude)})"
+    elif keep_where:
+        filt = (f"WHERE tfx.doc_id IN "
+                f"(SELECT doc_id FROM documents WHERE {keep_where})")
+    else:
+        filt = ""
     return (
         BM25_CTES
         + f""",
@@ -980,6 +999,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_indexed_rebuilt": _bm25_sql(MID_QUERY),
         "bm25_topk_per_source": _bm25_grouped_sql(HOT_QUERY),
         "bm25_topk_unicode": _bm25_unicode_sql(),
+        "bm25_topk_filtered": _bm25_sql(HOT_QUERY, keep_where="lang = 'en'"),
         "search_with_text": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text "

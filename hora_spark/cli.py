@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-q", "--query", action="append", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--no-prune", action="store_true")
+    s.add_argument("--filter", default=None,
+                   help="parquet path whose first column is the ALLOWED "
+                        "doc ids (filtered search: exact top-k among "
+                        "them, scores unchanged)")
 
     a = sub.add_parser("append", help="incrementally index new rows")
     a.add_argument("--input", required=True)
@@ -122,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
                   "so non-ASCII argv survives the JVM launcher",
                   file=sys.stderr)
         eng = Engine(spark, args.index)
-        res = eng.searches(args.query, k=args.k, prune=not args.no_prune)
+        fdf = spark.read.parquet(args.filter) if args.filter else None
+        res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
+                           filter_df=fdf)
         for r in res.collect():
             print(json.dumps({"query": args.query[r["query_id"]],
                               "doc_id": r["doc_id"], "score": r["score"]}))

@@ -68,7 +68,7 @@ class Engine:
         return self.searches([query], k=k, prune=prune, version=version).drop("query_id")
 
     def searches(self, queries: list[str], k: int | None = None, prune: bool = True,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None, filter_df: DataFrame | None = None) -> DataFrame:
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
         v = self.store.current_version() if version is None else version
@@ -76,7 +76,18 @@ class Engine:
         return _query.search_topk(
             self.spark, self.store, queries, k=k or self.cfg.k_default,
             cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
+            filter_df=filter_df,
         )
+
+    def search_filtered(self, query: str, filter_df: DataFrame,
+                        k: int | None = None, prune: bool = True,
+                        version: int | None = None) -> DataFrame:
+        """Filtered search: exact top-k among the doc ids in `filter_df`
+        (one column), scores = the unfiltered global-stats BM25 (the
+        deletes convention, inverted). 'Search only user turns' /
+        'only English docs' without rebuilding the index."""
+        return self.searches([query], k=k, prune=prune, version=version,
+                             filter_df=filter_df).drop("query_id")
 
     # ------------------------------------------------------- maintenance --
     def delete(self, doc_ids) -> dict:

@@ -121,6 +121,7 @@ def _score_terms_on_docs(
     k1: float,
     b: float,
     deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
@@ -128,7 +129,11 @@ def _score_terms_on_docs(
 
     deleted: optional SORTED int64 array of tombstoned doc ids — they are
     dropped before the heap, so survivors' scores are untouched (the
-    has_deletion filter of /root/reference/src/index/hnsw_idx.rs:235-237)."""
+    has_deletion filter of /root/reference/src/index/hnsw_idx.rs:235-237).
+    allowed: optional SORTED int64 keep-list (filtered search): docs NOT
+    in it are dropped before the heap — same exactness argument as
+    deletes, inverted. An EMPTY array means 'filter active, nothing
+    allowed' (None means no filter)."""
     all_ids: list[np.ndarray] = []
     all_contrib: list[np.ndarray] = []
     for t, blocks in zip(terms, blocks_per_term):
@@ -153,6 +158,12 @@ def _score_terms_on_docs(
         pos = np.minimum(pos, len(deleted) - 1)
         live = deleted[pos] != uids
         uids, scores = uids[live], scores[live]
+    if allowed is not None and len(uids):
+        if len(allowed) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        pos = np.minimum(np.searchsorted(allowed, uids), len(allowed) - 1)
+        keep = allowed[pos] == uids
+        uids, scores = uids[keep], scores[keep]
     return uids, scores
 
 
@@ -166,12 +177,17 @@ def shard_topk(
     batch_docs: int = 8192,
     first_batch_docs: int | None = None,
     deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
 
     terms MUST be in sorted term order (pinned summation order).
     prune=False is the exhaustive decode-all path (test oracle).
     deleted: sorted tombstoned doc ids, excluded from results exactly.
+    allowed: sorted keep-list (filtered search) — only these doc ids may
+    appear; scores of kept docs are the unfiltered scores (stats global).
+    WAND pruning stays exact: the unfiltered block bounds only
+    over-estimate the filtered scores.
     first_batch_docs: smaller width cap used while θ is still −inf — a
     SOUND early-θ seed (θ only ever comes from actually-scored docs; a
     cross-shard seed from block upper bounds would be unsound because a
@@ -185,7 +201,8 @@ def shard_topk(
     if not prune:
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
-            terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b, deleted
+            terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
+            deleted, allowed,
         )
         return _topk(ids, scores, k)
 
@@ -248,7 +265,7 @@ def shard_topk(
             ]
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
-                avgdl, k1, b, deleted,
+                avgdl, k1, b, deleted, allowed,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

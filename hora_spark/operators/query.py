@@ -52,6 +52,7 @@ def _shard_search(
     b: float,
     prune: bool,
     deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard group: this shard's segment rows for all query terms.
     Runs WAND once per query. Doc lengths are decoded from the postings'
@@ -102,7 +103,8 @@ def _shard_search(
         tp = [p for t in terms if t in postings for p in postings[t]]
         if not tp:
             continue
-        ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune, deleted=deleted)
+        ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
+                                 deleted=deleted, allowed=allowed)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -126,13 +128,24 @@ def search_topk(
     prune: bool = True,
     version: int | None = None,
     idf_cache: dict | None = None,
+    filter_df: DataFrame | None = None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
 
     idf_cache: optional {term: idf | None} dict scoped to ONE snapshot
     version (the Engine keys it by version) — repeat terms skip the stats
-    lookup job entirely. None marks a term known to be absent."""
+    lookup job entirely. None marks a term known to be absent.
+
+    filter_df: optional one-column DataFrame of ALLOWED doc ids (filtered
+    search — 'only role=user turns', 'only English docs'): results are the
+    exact top-k among those docs, with each doc's UNFILTERED global-stats
+    BM25 score (the same frozen-stats convention as deletes, inverted).
+    Physical forms mirror the delete path: small sets broadcast as one
+    sorted array; above cfg.max_broadcast_deletes the keep-list cogroups
+    with its own shard (doc-range sharding makes doc_id DIV shard_size
+    the shard key), so driver state never grows with the filter. Costs
+    one count job over filter_df to pick the form."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -191,33 +204,68 @@ def search_topk(
     #   tombstones cogroup with its segment rows and no driver state
     #   grows with the delete volume.
     n_del = int(meta.get("n_deletes", 0))
-    if n_del > cfg.max_broadcast_deletes and store.exists("deletes", version):
+    has_filter = filter_df is not None
+    n_filter = 0
+    if has_filter:
+        filter_df = filter_df.select(
+            F.col(filter_df.columns[0]).cast("long").alias("doc_id"))
+        n_filter = filter_df.count()
+    big = ((n_del > cfg.max_broadcast_deletes and store.exists("deletes", version))
+           or n_filter > cfg.max_broadcast_deletes)
+    if big:
+        # either auxiliary set is too large to broadcast → ship BOTH as
+        # one tagged table cogrouped by shard. Exact integer DIV,
+        # bit-identical to the build's numpy `ids // shard_size` — a
+        # double-precision `/` would round the quotient near 2^53 and
+        # silently map a row to the wrong shard (this path exists
+        # precisely for the huge-corpus case).
         shard_size = int(meta["shard_size"])
-        # exact integer DIV, bit-identical to the build's numpy
-        # `ids // shard_size` — a double-precision `/` would round the
-        # quotient near 2^53 and silently map a tombstone to the wrong
-        # shard (this path exists precisely for the huge-corpus case)
-        dels = store.read("deletes", version).select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.expr(f"CAST(CAST(doc_id AS BIGINT) DIV {shard_size} AS INT)").alias("shard_id"),
-        )
+        shard_col = F.expr(
+            f"CAST(CAST(doc_id AS BIGINT) DIV {shard_size} AS INT)"
+        ).alias("shard_id")
+        aux = None
+        if store.exists("deletes", version):
+            aux = store.read("deletes", version).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(1).alias("is_del"))
+        if has_filter:
+            fa = filter_df.select("doc_id", F.lit(0).alias("is_del"))
+            aux = fa if aux is None else aux.unionByName(fa)
+        aux = aux.select("doc_id", "is_del", shard_col)
 
-        def run_cg(seg_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
-            d = (np.unique(del_pdf["doc_id"].to_numpy(np.int64))
-                 if len(del_pdf) else None)
+        def run_cg(seg_pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+            dels = None
+            # a shard with NO filter rows under an active filter allows
+            # nothing (empty array ≠ None = no filter)
+            alw = np.empty(0, np.int64) if has_filter else None
+            if len(aux_pdf):
+                tag = aux_pdf["is_del"].to_numpy()
+                ids_np = aux_pdf["doc_id"].to_numpy(np.int64)
+                d = ids_np[tag == 1]
+                if len(d):
+                    dels = np.unique(d)
+                if has_filter:
+                    alw = np.unique(ids_np[tag == 0])
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
-                                 avgdl, k1, b, prune, deleted=d)
+                                 avgdl, k1, b, prune, deleted=dels,
+                                 allowed=alw)
 
         local = (
-            segs.groupby("shard_id").cogroup(dels.groupby("shard_id"))
+            segs.groupby("shard_id").cogroup(aux.groupby("shard_id"))
             .applyInPandas(run_cg, RESULT_SCHEMA)
         )
     else:
         b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
+        allow_arr = None
+        if has_filter:
+            allow_arr = np.unique(np.array(
+                [r["doc_id"] for r in filter_df.collect()], np.int64))
+        b_allow = spark.sparkContext.broadcast(allow_arr)
 
         def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
-                                 avgdl, k1, b, prune, deleted=b_del.value)
+                                 avgdl, k1, b, prune, deleted=b_del.value,
+                                 allowed=b_allow.value)
 
         local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
