@@ -145,7 +145,8 @@ def search_topk(
     sorted array; above cfg.max_broadcast_deletes the keep-list cogroups
     with its own shard (doc-range sharding makes doc_id DIV shard_size
     the shard key), so driver state never grows with the filter. Costs
-    one count job over filter_df to pick the form."""
+    one size-probe job (a limit-bounded collect of ≤ ceiling+1 ids, which
+    doubles as the broadcast array when the filter is small)."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -205,13 +206,17 @@ def search_topk(
     #   grows with the delete volume.
     n_del = int(meta.get("n_deletes", 0))
     has_filter = filter_df is not None
-    n_filter = 0
+    allow_rows = None
     if has_filter:
         filter_df = filter_df.select(
             F.col(filter_df.columns[0]).cast("long").alias("doc_id"))
-        n_filter = filter_df.count()
+        # ONE size-probe job: collect up to ceiling+1 ids. Small filters
+        # get their broadcast array from this same collect (no separate
+        # count job); an over-ceiling probe aborts early via the limit.
+        allow_rows = filter_df.limit(cfg.max_broadcast_deletes + 1).collect()
     big = ((n_del > cfg.max_broadcast_deletes and store.exists("deletes", version))
-           or n_filter > cfg.max_broadcast_deletes)
+           or (allow_rows is not None
+               and len(allow_rows) > cfg.max_broadcast_deletes))
     if big:
         # either auxiliary set is too large to broadcast → ship BOTH as
         # one tagged table cogrouped by shard. Exact integer DIV,
@@ -259,7 +264,7 @@ def search_topk(
         allow_arr = None
         if has_filter:
             allow_arr = np.unique(np.array(
-                [r["doc_id"] for r in filter_df.collect()], np.int64))
+                [r["doc_id"] for r in allow_rows], np.int64))
         b_allow = spark.sparkContext.broadcast(allow_arr)
 
         def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -71,6 +71,16 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(["build", "--input", out, "--index", idx2,
                      "--no-store-dl"]) == 0
     assert cli.main(["search", "--index", idx2, "-q", "the of", "-k", "5"]) == 0
+    # filtered search through the CLI (keep-list parquet)
+    filt = str(tmp_path / "keep")
+    spark.range(0, 1000, 2).withColumnRenamed("id", "doc_id").write.parquet(filt)
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5",
+                     "--filter", filt]) == 0
+    # unicode mode end to end
+    idx3 = str(tmp_path / "idx_uni")
+    assert cli.main(["build", "--input", out, "--index", idx3,
+                     "--unicode"]) == 0
+    assert cli.main(["search", "--index", idx3, "-q", "the of", "-k", "5"]) == 0
 
 
 def test_idf_cache_identical_results(spark, tmp_path):
