@@ -171,6 +171,15 @@ def _q_bm25_rebuilt(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_conjunctive(spark, sf_dir):
+    """Conjunctive (AND) search through the WAND path: exact top-k among
+    docs containing EVERY hot-query term, scores = the usual BM25 sums.
+    Oracle: same BM25 SQL with HAVING count(*) = n_terms."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search(" ".join(HOT_QUERY), k=K, mode="all")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_filtered(spark, sf_dir):
     """Filtered search through the WAND path: exact top-k among ONLY the
     lang='en' docs ('search just the English turns'), scores frozen at the
@@ -596,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_per_source": _q_bm25_topk_per_source,
         "bm25_topk_unicode": _q_bm25_unicode,
         "bm25_topk_filtered": _q_bm25_filtered,
+        "bm25_topk_conjunctive": _q_bm25_conjunctive,
         "search_with_text": _q_search_with_text,
         "topk_per_term": _q_topk_per_term,
         # dedup family
@@ -654,12 +664,14 @@ dfs AS (SELECT term, count(*) AS df FROM tfx GROUP BY term)
 
 
 def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
-              keep_where: str | None = None) -> str:
+              keep_where: str | None = None, conjunctive: bool = False) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
     stats stay over all docs), matching frozen-stats delete semantics.
     keep_where: SQL predicate over the documents table selecting the
     ALLOWED doc ids (filtered search) — same pre-top-k, stats-global
-    convention, inverted."""
+    convention, inverted.
+    conjunctive: only docs matching EVERY distinct query term (HAVING
+    count(*) = n over the unique-(doc, term) tfx rows)."""
     vals = ", ".join(f"('{t}')" for t in terms)
     if exclude:
         filt = f"WHERE tfx.doc_id NOT IN ({', '.join(str(int(i)) for i in exclude)})"
@@ -683,6 +695,7 @@ scored AS (
   CROSS JOIN stats
   {filt}
   GROUP BY tfx.doc_id
+  {"HAVING count(*) = " + str(len(set(terms))) if conjunctive else ""}
 )
 SELECT doc_id, ROUND(s, 6) AS score FROM scored
 ORDER BY s DESC, doc_id ASC LIMIT {k}
@@ -1000,6 +1013,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_topk_per_source": _bm25_grouped_sql(HOT_QUERY),
         "bm25_topk_unicode": _bm25_unicode_sql(),
         "bm25_topk_filtered": _bm25_sql(HOT_QUERY, keep_where="lang = 'en'"),
+        "bm25_topk_conjunctive": _bm25_sql(HOT_QUERY, conjunctive=True),
         "search_with_text": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text "

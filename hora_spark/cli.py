@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet path whose first column is the ALLOWED "
                         "doc ids (filtered search: exact top-k among "
                         "them, scores unchanged)")
+    s.add_argument("--mode", default="any", choices=["any", "all"],
+                   help="'all' = conjunctive: only docs matching every "
+                        "query term")
 
     a = sub.add_parser("append", help="incrementally index new rows")
     a.add_argument("--input", required=True)
@@ -128,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         eng = Engine(spark, args.index)
         fdf = spark.read.parquet(args.filter) if args.filter else None
         res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
-                           filter_df=fdf)
+                           filter_df=fdf, mode=args.mode)
         for r in res.collect():
             print(json.dumps({"query": args.query[r["query_id"]],
                               "doc_id": r["doc_id"], "score": r["score"]}))

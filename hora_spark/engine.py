@@ -64,11 +64,15 @@ class Engine:
 
     # ----------------------------------------------------------- search ---
     def search(self, query: str, k: int | None = None, prune: bool = True,
-               version: int | None = None) -> DataFrame:
-        return self.searches([query], k=k, prune=prune, version=version).drop("query_id")
+               version: int | None = None, mode: str = "any") -> DataFrame:
+        """mode='all' gives conjunctive (AND) semantics — only docs
+        matching every query term, scored with the same BM25 sums."""
+        return self.searches([query], k=k, prune=prune, version=version,
+                             mode=mode).drop("query_id")
 
     def searches(self, queries: list[str], k: int | None = None, prune: bool = True,
-                 version: int | None = None, filter_df: DataFrame | None = None) -> DataFrame:
+                 version: int | None = None, filter_df: DataFrame | None = None,
+                 mode: str = "any") -> DataFrame:
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
         v = self.store.current_version() if version is None else version
@@ -76,7 +80,7 @@ class Engine:
         return _query.search_topk(
             self.spark, self.store, queries, k=k or self.cfg.k_default,
             cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
-            filter_df=filter_df,
+            filter_df=filter_df, mode=mode,
         )
 
     def search_filtered(self, query: str, filter_df: DataFrame,

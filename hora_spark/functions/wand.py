@@ -122,10 +122,18 @@ def _score_terms_on_docs(
     b: float,
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    min_match: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
     (sorted by term at the call site) → deterministic float sums.
+
+    min_match > 0 keeps only docs matched by at least that many DISTINCT
+    query terms (conjunctive search passes len(query terms)). Counting
+    raw contributions per doc IS the distinct-term count: a doc lives in
+    exactly one posting source per term (base and append-delta doc ranges
+    are disjoint) and in exactly one block of that source, so every
+    (doc, term) pair yields exactly one contribution array entry here.
 
     deleted: optional SORTED int64 array of tombstoned doc ids — they are
     dropped before the heap, so survivors' scores are untouched (the
@@ -153,6 +161,11 @@ def _score_terms_on_docs(
     uids, inv = np.unique(cat_ids, return_inverse=True)
     scores = np.zeros(len(uids), dtype=np.float64)
     np.add.at(scores, inv, cat_con)
+    if min_match > 1:
+        counts = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(counts, inv, 1)
+        qual = counts >= min_match
+        uids, scores = uids[qual], scores[qual]
     if deleted is not None and len(deleted) and len(uids):
         pos = np.searchsorted(deleted, uids)
         pos = np.minimum(pos, len(deleted) - 1)
@@ -178,8 +191,17 @@ def shard_topk(
     first_batch_docs: int | None = None,
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    min_match: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
+
+    min_match = len(query terms) gives conjunctive (AND) semantics: only
+    docs matching every term may appear; their scores are the usual sums.
+    θ then tracks the k-th best QUALIFIED score (unqualified docs are
+    dropped before the heap), so block-max pruning stays exact — the OR
+    upper bound dominates every doc's score, qualified or not. When fewer
+    than k docs qualify, the loop degrades to an exhaustive scan of the
+    candidate intervals (no early break), which is the correct price.
 
     terms MUST be in sorted term order (pinned summation order).
     prune=False is the exhaustive decode-all path (test oracle).
@@ -202,7 +224,7 @@ def shard_topk(
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
-            deleted, allowed,
+            deleted, allowed, min_match,
         )
         return _topk(ids, scores, k)
 
@@ -265,7 +287,7 @@ def shard_topk(
             ]
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
-                avgdl, k1, b, deleted, allowed,
+                avgdl, k1, b, deleted, allowed, min_match,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

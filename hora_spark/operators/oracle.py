@@ -43,14 +43,18 @@ def bruteforce_topk(
     query: str,
     k: int = 10,
     cfg: EngineConfig | None = None,
+    mode: str = "any",
 ) -> DataFrame:
     """Exact top-k: (doc_id, score) ordered by (score DESC, doc_id ASC).
 
     The per-doc score sums contributions over matched query terms; docs
     matching no term never appear (score 0 docs are excluded, like a heap
-    that never sees them)."""
+    that never sees them). mode='all' keeps only docs matching EVERY
+    distinct query term (conjunctive) — including corpus-absent terms,
+    which therefore empty the result."""
     cfg = cfg or EngineConfig()
     q = query_terms_df(spark, query, corpus, cfg)
+    n_terms = len(set(tokenize_py(query, unicode=corpus.unicode)))
     scored = (
         corpus.tf.join(F.broadcast(q.select("term", "idf")), "term", "inner")
         .withColumn(
@@ -58,6 +62,10 @@ def bruteforce_topk(
             score_col(F.col("tf"), F.col("dl"), F.col("idf"), F.lit(corpus.avgdl), cfg.bm25),
         )
         .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(F.sum("contrib").alias("score"),
+             F.count(F.lit(1)).alias("_matched"))  # tf rows unique per (doc, term)
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if mode == "all":
+        scored = scored.filter(F.col("_matched") == n_terms)
+    return (scored.drop("_matched")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -53,6 +53,7 @@ def _shard_search(
     prune: bool,
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    mode: str = "any",
 ) -> pd.DataFrame:
     """One shard group: this shard's segment rows for all query terms.
     Runs WAND once per query. Doc lengths are decoded from the postings'
@@ -103,8 +104,14 @@ def _shard_search(
         tp = [p for t in terms if t in postings for p in postings[t]]
         if not tp:
             continue
+        # conjunctive: require every DISTINCT query term — including ones
+        # absent from the corpus (len(terms) counts them, so any absent
+        # term makes min_match unreachable and the query returns empty,
+        # which IS conjunctive semantics)
+        mm = len(terms) if mode == "all" else 0
         ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
-                                 deleted=deleted, allowed=allowed)
+                                 deleted=deleted, allowed=allowed,
+                                 min_match=mm)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -129,9 +136,14 @@ def search_topk(
     version: int | None = None,
     idf_cache: dict | None = None,
     filter_df: DataFrame | None = None,
+    mode: str = "any",
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
+
+    mode: 'any' (default, bag-of-words OR) or 'all' (conjunctive — only
+    docs matching EVERY distinct query term, scored with the same sums;
+    a query containing a corpus-absent term returns no rows).
 
     idf_cache: optional {term: idf | None} dict scoped to ONE snapshot
     version (the Engine keys it by version) — repeat terms skip the stats
@@ -253,7 +265,7 @@ def search_topk(
                     alw = np.unique(ids_np[tag == 0])
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=dels,
-                                 allowed=alw)
+                                 allowed=alw, mode=mode)
 
         local = (
             segs.groupby("shard_id").cogroup(aux.groupby("shard_id"))
@@ -270,7 +282,7 @@ def search_topk(
         def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=b_del.value,
-                                 allowed=b_allow.value)
+                                 allowed=b_allow.value, mode=mode)
 
         local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
