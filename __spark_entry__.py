@@ -180,6 +180,25 @@ def _q_bm25_conjunctive(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+PHRASE_QUERY = "part filter"
+
+
+def _q_bm25_phrase(spark, sf_dir):
+    """Phrase search end to end: index built with store_positions=True,
+    exact token-adjacency verified from pos_blocks (no source-text join),
+    scored as conjunctive BM25 over the phrase terms. Oracle: token-string
+    containment (adjacency in token space) ∘ the conjunctive BM25 SQL."""
+    key = sf_dir + "#pos"
+    if key not in _ENGINE_CACHE:
+        path = tempfile.mkdtemp(prefix="hora_idx_pos_")
+        eng = Engine(spark, path, EngineConfig(index=IndexConfig(
+            block_size=32, n_buckets=8, store_positions=True)))
+        eng.build(_docs(spark, sf_dir), id_col="doc_id")
+        _ENGINE_CACHE[key] = eng
+    res = _ENGINE_CACHE[key].search(PHRASE_QUERY, k=K, mode="phrase")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_filtered(spark, sf_dir):
     """Filtered search through the WAND path: exact top-k among ONLY the
     lang='en' docs ('search just the English turns'), scores frozen at the
@@ -606,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_unicode": _q_bm25_unicode,
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_conjunctive": _q_bm25_conjunctive,
+        "bm25_topk_phrase": _q_bm25_phrase,
         "search_with_text": _q_search_with_text,
         "topk_per_term": _q_topk_per_term,
         # dedup family
@@ -696,6 +716,37 @@ scored AS (
   {filt}
   GROUP BY tfx.doc_id
   {"HAVING count(*) = " + str(len(set(terms))) if conjunctive else ""}
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _bm25_phrase_sql(phrase: str, k: int = K) -> str:
+    """Twin of _q_bm25_phrase: token-adjacency as normalized-token-string
+    containment (' a b ' in ' '||join(toks)||' ') + conjunctive BM25."""
+    terms = tokenize_py(phrase)
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    needle = " " + " ".join(terms) + " "
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES {vals}),
+matched AS (SELECT doc_id FROM tok
+            WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '%{needle}%'),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  JOIN matched USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tfx.doc_id
+  HAVING count(*) = {len(set(terms))}
 )
 SELECT doc_id, ROUND(s, 6) AS score FROM scored
 ORDER BY s DESC, doc_id ASC LIMIT {k}
@@ -1014,6 +1065,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_topk_unicode": _bm25_unicode_sql(),
         "bm25_topk_filtered": _bm25_sql(HOT_QUERY, keep_where="lang = 'en'"),
         "bm25_topk_conjunctive": _bm25_sql(HOT_QUERY, conjunctive=True),
+        "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
         "search_with_text": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text "

@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
                         "the ASCII [a-z0-9]+ default — CJK/Cyrillic/"
                         "Arabic text becomes searchable; queries follow "
                         "the index's recorded mode automatically")
+    b.add_argument("--store-positions", action="store_true",
+                   help="pack within-doc token positions per posting "
+                        "(enables search --mode phrase; ~1-2 bytes per "
+                        "token occurrence)")
 
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
@@ -59,9 +63,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet path whose first column is the ALLOWED "
                         "doc ids (filtered search: exact top-k among "
                         "them, scores unchanged)")
-    s.add_argument("--mode", default="any", choices=["any", "all"],
-                   help="'all' = conjunctive: only docs matching every "
-                        "query term")
+    s.add_argument("--mode", default="any", choices=["any", "all", "phrase"],
+                   help="'all' = conjunctive (every query term); 'phrase' "
+                        "= exact adjacency (index must be built with "
+                        "--store-positions)")
 
     a = sub.add_parser("append", help="incrementally index new rows")
     a.add_argument("--input", required=True)
@@ -109,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.unicode:
             cfg = dataclasses.replace(
                 cfg, index=dataclasses.replace(cfg.index, unicode=True))
+        if args.store_positions:
+            cfg = dataclasses.replace(
+                cfg, index=dataclasses.replace(cfg.index, store_positions=True))
         eng = Engine(spark, args.index, cfg)
         out = eng.build(
             spark.read.parquet(args.input),

@@ -83,6 +83,11 @@ class IndexConfig:
     # Recorded in the snapshot meta; queries tokenize with the INDEX's
     # mode, not the caller's cfg — one index, one tokenizer.
     unicode: bool = False
+    # store within-doc token positions per posting (pos_blocks): enables
+    # PHRASE queries verified from the index alone (no source-text join).
+    # Costs ~1-2 bytes per token occurrence; off by default. Recorded in
+    # the snapshot meta; mode="phrase" searches require it.
+    store_positions: bool = False
 
     def n_shards_for(self, id_span: int) -> int:
         """Shard count for a corpus occupying doc ids [0, id_span).

@@ -66,7 +66,9 @@ class Engine:
     def search(self, query: str, k: int | None = None, prune: bool = True,
                version: int | None = None, mode: str = "any") -> DataFrame:
         """mode='all' gives conjunctive (AND) semantics — only docs
-        matching every query term, scored with the same BM25 sums."""
+        matching every query term, scored with the same BM25 sums.
+        mode='phrase' requires exact token adjacency (index built with
+        IndexConfig.store_positions=True), scored like 'all'."""
         return self.searches([query], k=k, prune=prune, version=version,
                              mode=mode).drop("query_id")
 

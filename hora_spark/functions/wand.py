@@ -47,10 +47,11 @@ class TermPosting:
     lookup — byte-identical scores, shard-proportional decode cost."""
 
     __slots__ = ("idf", "doc_blocks", "tf_blocks", "dl_blocks", "block_last",
-                 "block_max", "block_start", "_cache", "dl_lookup")
+                 "block_max", "block_start", "_cache", "dl_lookup",
+                 "pos_blocks", "_pos_cache")
 
     def __init__(self, idf, doc_blocks, tf_blocks, dl_blocks, block_last,
-                 block_max, dl_lookup=None):
+                 block_max, dl_lookup=None, pos_blocks=None):
         self.idf = float(idf)
         self.doc_blocks = doc_blocks
         self.tf_blocks = tf_blocks
@@ -65,6 +66,8 @@ class TermPosting:
             self.block_start[0] = 0
             self.block_start[1:] = self.block_last[:-1] + 1
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.pos_blocks = pos_blocks
+        self._pos_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def decode(self, j: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         got = self._cache.get(j)
@@ -91,6 +94,46 @@ class TermPosting:
             got = (ids, tfs, dls)
             self._cache[j] = got
         return got
+
+    def decode_pos(self, j: int) -> tuple[np.ndarray, np.ndarray]:
+        """Block j's flat within-doc positions + per-posting offsets
+        (offsets[i] .. offsets[i+1] are the positions of the block's i-th
+        doc — per-doc counts are the tfs). store_positions layout only."""
+        got = self._pos_cache.get(j)
+        if got is None:
+            if not self.pos_blocks:
+                raise ValueError(
+                    "phrase search needs pos_blocks "
+                    "(index built without store_positions)"
+                )
+            flat = decode_block(self.pos_blocks[j], delta=False)
+            _, tfs, _ = self.decode(j)
+            offs = np.empty(len(tfs) + 1, np.int64)
+            offs[0] = 0
+            np.cumsum(tfs, out=offs[1:])
+            got = (flat, offs)
+            self._pos_cache[j] = got
+        return got
+
+
+def _gather_segments(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Index array taking variable-length segments (starts[i], lens[i])
+    of a flat array in order (positions-of-selected-docs gather)."""
+    total = int(lens.sum()) if len(lens) else 0
+    if total == 0:
+        return np.empty(0, np.int64)
+    cum = np.empty(len(lens) + 1, np.int64)
+    cum[0] = 0
+    np.cumsum(lens, out=cum[1:])
+    return np.repeat(starts - cum[:-1], lens) + np.arange(total, dtype=np.int64)
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Boolean membership of vals in a sorted array."""
+    if len(sorted_arr) == 0 or len(vals) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_arr, vals), len(sorted_arr) - 1)
+    return sorted_arr[idx] == vals
 
 
 def _tf_sat(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
@@ -123,6 +166,7 @@ def _score_terms_on_docs(
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     min_match: int = 0,
+    phrase: list[tuple[int, list[int]]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
@@ -134,6 +178,14 @@ def _score_terms_on_docs(
     exactly one posting source per term (base and append-delta doc ranges
     are disjoint) and in exactly one block of that source, so every
     (doc, term) pair yields exactly one contribution array entry here.
+
+    phrase: list of (slot_offset, indices-into-terms) — after all other
+    filters, keep only docs where some token position p has slot 0's term
+    at p, slot 1's at p + (off1 − off0), etc. Verified fully vectorized
+    over (local-doc, position) composite keys from the SAME decoded
+    blocks (a doc lives entirely inside one block of one source, so its
+    positions never straddle intervals). Callers pass min_match =
+    len(distinct phrase terms), so candidates already contain every term.
 
     deleted: optional SORTED int64 array of tombstoned doc ids — they are
     dropped before the heap, so survivors' scores are untouched (the
@@ -177,6 +229,45 @@ def _score_terms_on_docs(
         pos = np.minimum(np.searchsorted(allowed, uids), len(allowed) - 1)
         keep = allowed[pos] == uids
         uids, scores = uids[keep], scores[keep]
+    if phrase is not None and len(uids):
+        # per slot: (local candidate-doc index, position) pairs from the
+        # same decoded blocks, restricted to surviving candidate docs
+        slot_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        pmax = 0
+        for _, idxs in phrase:
+            locs_l, pos_l = [], []
+            for ti in idxs:
+                t = terms[ti]
+                for j in blocks_per_term[ti]:
+                    ids, tfs, _ = t.decode(int(j))
+                    m = (ids >= lo) & (ids <= hi)
+                    if not m.any():
+                        continue
+                    flat, offs = t.decode_pos(int(j))
+                    sel = np.flatnonzero(m)
+                    p = flat[_gather_segments(offs[sel], tfs[sel])]
+                    d = np.repeat(ids[sel], tfs[sel])
+                    ok = _in_sorted(uids, d)
+                    if ok.any():
+                        locs_l.append(np.searchsorted(uids, d[ok]))
+                        pos_l.append(p[ok])
+            if not locs_l:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            locs = np.concatenate(locs_l)
+            ps = np.concatenate(pos_l)
+            pmax = max(pmax, int(ps.max()))
+            slot_pairs.append((locs, ps))
+        base = pmax + len(phrase) + 2  # key shifts p + Δoffset stay in range
+        slot_keys = [np.unique(l * base + p) for l, p in slot_pairs]
+        off0 = phrase[0][0]
+        cur = slot_keys[0]
+        for (off, _), keys_t in zip(phrase[1:], slot_keys[1:]):
+            cur = cur[_in_sorted(keys_t, cur + (off - off0))]
+            if len(cur) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        keep = np.zeros(len(uids), dtype=bool)
+        keep[np.unique(cur // base)] = True
+        uids, scores = uids[keep], scores[keep]
     return uids, scores
 
 
@@ -192,8 +283,14 @@ def shard_topk(
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     min_match: int = 0,
+    phrase: list[tuple[int, list[int]]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
+
+    phrase: slot list for exact phrase matching (see
+    _score_terms_on_docs) — combine with min_match = len(distinct phrase
+    terms); θ then tracks the k-th best PHRASE-qualified score, keeping
+    block-max pruning exact for phrases too.
 
     min_match = len(query terms) gives conjunctive (AND) semantics: only
     docs matching every term may appear; their scores are the usual sums.
@@ -224,7 +321,7 @@ def shard_topk(
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
-            deleted, allowed, min_match,
+            deleted, allowed, min_match, phrase,
         )
         return _topk(ids, scores, k)
 
@@ -287,7 +384,7 @@ def shard_topk(
             ]
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
-                avgdl, k1, b, deleted, allowed, min_match,
+                avgdl, k1, b, deleted, allowed, min_match, phrase,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

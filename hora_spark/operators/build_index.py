@@ -277,8 +277,11 @@ def build_index(
         # (postings pre-packed per (shard, term) per batch: the shuffle and
         # every Arrow boundary carries ~|vocab|·|batches| blob rows instead
         # of |postings| string rows)
-        partials = map_partial_segments(df, text_col, id_col, shard_size,
-                                        unicode=cfg.index.unicode)
+        partials = map_partial_segments(
+            df, text_col, id_col, shard_size,
+            unicode=cfg.index.unicode,
+            store_positions=cfg.index.store_positions,
+        )
         staged = waves > 1
         if staged:
             d_tf = store.write_table("partials", partials, partition_by=["shard_id"])
@@ -347,6 +350,8 @@ def build_index(
             "store_dl": cfg.index.store_dl,
             # tokenizer mode: queries MUST tokenize with the index's mode
             "unicode": cfg.index.unicode,
+            # positions layout: phrase queries require it; appends follow
+            "store_positions": cfg.index.store_positions,
         },
     )
     _dbg("stats+lineage committed")

@@ -98,20 +98,37 @@ def _shard_search(
         postings.setdefault(row.term, []).append(TermPosting(
             idf, row.doc_blocks, row.tf_blocks, row.dl_blocks, row.block_last,
             ub, dl_lookup=dl_lookup,
+            # the scan includes pos_blocks only for phrase queries
+            pos_blocks=(list(pb) if (pb := getattr(row, "pos_blocks", None))
+                        is not None and len(pb) else None),
         ))
     out_q, out_d, out_s = [], [], []
     for qid, terms in enumerate(queries):
-        tp = [p for t in terms if t in postings for p in postings[t]]
+        # phrase mode ships RAW ordered token lists (duplicates matter);
+        # other modes ship sorted distinct terms
+        distinct = sorted(set(terms)) if mode == "phrase" else terms
+        tp: list[TermPosting] = []
+        idx_of: dict[str, list[int]] = {}
+        for t in distinct:
+            if t in postings:
+                idx_of[t] = list(range(len(tp), len(tp) + len(postings[t])))
+                tp.extend(postings[t])
         if not tp:
             continue
-        # conjunctive: require every DISTINCT query term — including ones
-        # absent from the corpus (len(terms) counts them, so any absent
-        # term makes min_match unreachable and the query returns empty,
-        # which IS conjunctive semantics)
-        mm = len(terms) if mode == "all" else 0
+        phrase = None
+        if mode == "phrase":
+            if len(idx_of) < len(distinct):
+                continue  # an absent term makes the phrase unmatchable
+            phrase = [(off, idx_of[tok]) for off, tok in enumerate(terms)]
+        # conjunctive/phrase: require every DISTINCT query term — for
+        # mode="all", terms absent from the corpus are counted too
+        # (len(terms) includes them), making min_match unreachable and
+        # the query empty, which IS conjunctive semantics
+        mm = (len(terms) if mode == "all"
+              else len(distinct) if mode == "phrase" else 0)
         ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
                                  deleted=deleted, allowed=allowed,
-                                 min_match=mm)
+                                 min_match=mm, phrase=phrase)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -141,9 +158,13 @@ def search_topk(
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
 
-    mode: 'any' (default, bag-of-words OR) or 'all' (conjunctive — only
+    mode: 'any' (default, bag-of-words OR), 'all' (conjunctive — only
     docs matching EVERY distinct query term, scored with the same sums;
-    a query containing a corpus-absent term returns no rows).
+    a query containing a corpus-absent term returns no rows), or
+    'phrase' (exact adjacency: the query's token sequence must occur
+    contiguously in the doc — verified from pos_blocks inside the index,
+    no source-text join; requires IndexConfig.store_positions=True;
+    scored like 'all' over the phrase's distinct terms).
 
     idf_cache: optional {term: idf | None} dict scoped to ONE snapshot
     version (the Engine keys it by version) — repeat terms skip the stats
@@ -172,7 +193,16 @@ def search_topk(
     # tokenize with the INDEX's pinned mode (recorded at build time) —
     # a unicode-built index must see unicode query terms and vice versa
     uni = bool(meta.get("unicode", False))
-    q_terms = [sorted(set(tokenize_py(q, unicode=uni))) for q in queries]
+    if mode == "phrase":
+        if not bool(meta.get("store_positions", False)):
+            raise ValueError(
+                "phrase search requires an index built with "
+                "IndexConfig.store_positions=True"
+            )
+        # raw ordered token lists — duplicates and order define the phrase
+        q_terms = [tokenize_py(q, unicode=uni) for q in queries]
+    else:
+        q_terms = [sorted(set(tokenize_py(q, unicode=uni))) for q in queries]
     all_terms = sorted({t for ts in q_terms for t in ts})
     if not all_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -199,11 +229,14 @@ def search_topk(
     # row rides in the same pushed-down scan (one extra row per shard).
     scan_terms = (live_terms if bool(meta.get("store_dl", True))
                   else live_terms + [NORMS_TERM])
+    seg_cols = ["shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
+                "block_last", "block_tf_max", "block_dl_min"]
+    if mode == "phrase":  # positions read ONLY when the query needs them
+        seg_cols.append("pos_blocks")
     segs = (
         store.read("segments", version)
         .filter(F.col("term").isin(scan_terms))
-        .select("shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
-                "block_last", "block_tf_max", "block_dl_min")
+        .select(*seg_cols)
     )
 
     # tombstoned ids (delete support; hora's has_deletion check,

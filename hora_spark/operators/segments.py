@@ -44,10 +44,16 @@ from hora_spark.functions.tokenize import token_run_regex
 SEGMENT_SCHEMA = (
     "shard_id int, term string, df_local long, "
     "doc_blocks array<binary>, tf_blocks array<binary>, dl_blocks array<binary>, "
+    "pos_blocks array<binary>, "
     "block_last array<long>, block_n array<int>, "
     "block_tf_max array<long>, block_dl_min array<int>, "
     "encode_us long"
 )
+# pos_blocks (store_positions=True layout only; [] otherwise): block j
+# packs the concatenated within-doc token positions of every posting in
+# doc order — per-doc counts are the tf values already in tf_blocks, so
+# no extra length array is needed. Phrase queries verify adjacency from
+# the index alone (no source-text join).
 # reserved doc-length sidecar row per shard: doc ids delta-packed in
 # doc_blocks[0], dls fixed-width packed in tf_blocks[0], Σdl in
 # block_tf_max[0]. \x00 can never appear in a token in EITHER tokenizer
@@ -72,6 +78,24 @@ def _width_of(maxvals: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _cumsum0(a: np.ndarray) -> np.ndarray:
+    out = np.empty(len(a) + 1, np.int64)
+    out[0] = 0
+    np.cumsum(a, out=out[1:])
+    return out
+
+
+def _segment_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Index array that takes variable-length segments (starts[i],
+    lens[i]) of a flat array in order — the standard trick for permuting
+    per-row position lists without Python loops."""
+    total = int(lens.sum()) if len(lens) else 0
+    if total == 0:
+        return np.empty(0, np.int64)
+    rep = np.repeat(starts - _cumsum0(lens)[:-1], lens)
+    return rep + np.arange(total, dtype=np.int64)
+
+
 def _empty() -> pd.DataFrame:
     # dtypes must be Arrow-convertible to SEGMENT_SCHEMA even for zero rows
     # (a bare [] column is float64, which Arrow refuses to cast to
@@ -83,6 +107,7 @@ def _empty() -> pd.DataFrame:
         "doc_blocks": pd.Series([], dtype=object),
         "tf_blocks": pd.Series([], dtype=object),
         "dl_blocks": pd.Series([], dtype=object),
+        "pos_blocks": pd.Series([], dtype=object),
         "block_last": pd.Series([], dtype=object),
         "block_n": pd.Series([], dtype=object),
         "block_tf_max": pd.Series([], dtype=object),
@@ -92,17 +117,28 @@ def _empty() -> pd.DataFrame:
 
 
 def encode_shard_rows(pdf: pd.DataFrame, block_size: int,
-                      store_dl: bool = True) -> pd.DataFrame:
+                      store_dl: bool = True,
+                      pos_flat: np.ndarray | None = None) -> pd.DataFrame:
     """(shard_id, doc_id, dl, term, tf) tuples of ONE shard → canonical
     segment rows + the norms row.
 
     store_dl=False skips the per-posting dl_blocks (queries then fall back
-    to the norms sidecar — IndexConfig.store_dl documents the trade)."""
+    to the norms sidecar — IndexConfig.store_dl documents the trade).
+    pos_flat: optional flat int64 positions array — row i of pdf owns the
+    next tf[i] entries (in pdf row order, ascending within a row); emits
+    pos_blocks aligned with doc blocks (store_positions layout)."""
     t0 = time.perf_counter()
     if not len(pdf):
         return _empty()
     codes, uniq = pd.factorize(pdf["term"].to_numpy(), sort=True)
     order = np.lexsort((pdf["doc_id"].to_numpy(), codes))
+    pos_sorted = None
+    if pos_flat is not None:
+        lens0 = pdf["tf"].to_numpy(np.int64)
+        starts0 = _cumsum0(lens0)[:-1]
+        pos_sorted = np.asarray(pos_flat, np.int64)[
+            _segment_gather(starts0[order], lens0[order])
+        ]
     codes = codes[order]
     doc_ids = pdf["doc_id"].to_numpy(np.int64)[order]
     tfs = pdf["tf"].to_numpy(np.int64)[order]
@@ -133,6 +169,12 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int,
     if store_dl:
         dl_max = np.maximum.reduceat(dls, b_starts)
         dl_blocks = _pack_blocks(dls, b_starts, b_ends, _width_of(dl_max))
+    if pos_sorted is not None:
+        # block row ranges → flat position ranges (row i owns tf[i] slots)
+        flat_off = _cumsum0(tfs)
+        p_starts, p_ends = flat_off[b_starts], flat_off[b_ends]
+        p_max = np.maximum.reduceat(pos_sorted, p_starts)
+        pos_blocks = _pack_blocks(pos_sorted, p_starts, p_ends, _width_of(p_max))
     block_last = doc_ids[b_ends - 1]
     block_n = (b_ends - b_starts).astype(np.int32)
 
@@ -147,6 +189,9 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int,
         "tf_blocks": [tf_blocks[s:e] for s, e in zip(tb_starts, tb_ends)],
         "dl_blocks": ([dl_blocks[s:e] for s, e in zip(tb_starts, tb_ends)]
                       if store_dl else [[] for _ in range(len(uniq))]),
+        "pos_blocks": ([pos_blocks[s:e] for s, e in zip(tb_starts, tb_ends)]
+                       if pos_sorted is not None
+                       else [[] for _ in range(len(uniq))]),
         "block_last": [block_last[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
         "block_n": [block_n[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
         "block_tf_max": [tf_max[s:e].tolist() for s, e in zip(tb_starts, tb_ends)],
@@ -163,6 +208,7 @@ def encode_shard_rows(pdf: pd.DataFrame, block_size: int,
         "doc_blocks": [[encode_block(nd_ids, base=0, delta=True)]],
         "tf_blocks": [[encode_block(nd_dls, delta=False)]],
         "dl_blocks": [[]],
+        "pos_blocks": [[]],
         "block_last": [[]],
         "block_n": [[len(nd_ids)]],
         "block_tf_max": [[int(nd_dls.sum())]],
@@ -204,7 +250,8 @@ def merge_shard_rows(
         ndls = np.concatenate(dls_all)
         order = np.argsort(nids, kind="mergesort")
         nids, ndls = nids[order], ndls[order]
-    ids_out, tfs_out, dls_out, lens = [], [], [], []
+    ids_out, tfs_out, dls_out, pos_out, lens = [], [], [], [], []
+    n_pos_rows = 0
     for row in seg_rows.itertuples(index=False):
         ids, tfs = decode_posting(list(row.doc_blocks), list(row.tf_blocks))
         if len(row.dl_blocks):
@@ -223,33 +270,52 @@ def merge_shard_rows(
                     "(corrupt/mismatched segment set)"
                 )
             dls = ndls[idx]
+        if len(row.pos_blocks):
+            n_pos_rows += 1
+            pos_out.append(np.concatenate(
+                [decode_block(bytes(b), delta=False) for b in row.pos_blocks]
+            ))
         ids_out.append(ids)
         tfs_out.append(tfs)
         dls_out.append(dls)
         lens.append(len(ids))
+    if n_pos_rows and n_pos_rows != len(lens):
+        raise ValueError(
+            "mixed position layouts in one shard: "
+            f"{n_pos_rows} of {len(lens)} rows carry pos_blocks"
+        )
     doc_id = np.concatenate(ids_out)
+    tf_all = np.concatenate(tfs_out)
     tf_pdf = pd.DataFrame({
         "shard_id": np.full(len(doc_id), int(pdf["shard_id"].iloc[0]), np.int32),
         "doc_id": doc_id,
         "dl": np.concatenate(dls_out),
         "term": np.repeat(seg_rows["term"].to_numpy(), lens),
-        "tf": np.concatenate(tfs_out),
+        "tf": tf_all,
     })
+    pos_all = np.concatenate(pos_out) if n_pos_rows else None
     if deleted is not None and len(deleted):
-        pos = np.minimum(np.searchsorted(deleted, doc_id), len(deleted) - 1)
-        tf_pdf = tf_pdf[deleted[pos] != doc_id]
-    return encode_shard_rows(tf_pdf, block_size, store_dl=store_dl)
+        posx = np.minimum(np.searchsorted(deleted, doc_id), len(deleted) - 1)
+        keep = deleted[posx] != doc_id
+        if pos_all is not None:
+            starts = _cumsum0(tf_all)[:-1]
+            pos_all = pos_all[_segment_gather(starts[keep], tf_all[keep])]
+        tf_pdf = tf_pdf[keep]
+    return encode_shard_rows(tf_pdf, block_size, store_dl=store_dl,
+                             pos_flat=pos_all)
 
 
 def map_partial_segments(
     df: DataFrame, text_col: str, id_col: str, shard_size: int,
-    unicode: bool = False,
+    unicode: bool = False, store_positions: bool = False,
 ) -> DataFrame:
     """The build's map side: one Arrow pass over (id, text) emitting
     PARTIAL segment rows — per (shard, term) of each batch, a single-block
     posting (sorted by doc_id), plus one partial norms row per shard.
     All heavy lifting is numpy; term strings materialize only once per
-    distinct term per batch. unicode selects the pinned tokenizer mode."""
+    distinct term per batch. unicode selects the pinned tokenizer mode;
+    store_positions additionally packs within-doc token positions per
+    posting (single pos block per partial row, same one-pass shape)."""
     token_re = token_run_regex(unicode)
 
     def run(batches):
@@ -273,7 +339,20 @@ def map_partial_segments(
             # so the (doc, code) pair key is enough
             v = np.int64(len(uniques))
             key = doc_idx * v + codes
-            uk, counts = np.unique(key, return_counts=True)
+            if store_positions:
+                # sort-based grouping instead of np.unique: a stable sort
+                # keeps each (doc, term) group's positions ascending
+                # (token order IS position order within a doc)
+                pos_in_doc = (np.arange(len(codes), dtype=np.int64)
+                              - np.repeat(_cumsum0(dl)[:-1], dl))
+                order0 = np.argsort(key, kind="stable")
+                ks = key[order0]
+                g0 = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
+                uk = ks[g0]
+                counts = np.diff(np.append(g0, np.int64(len(ks))))
+                pos_by_key = pos_in_doc[order0]
+            else:
+                uk, counts = np.unique(key, return_counts=True)
             d_i = (uk // v).astype(np.int64)
             c_i = (uk % v).astype(np.int64)
             p_doc = ids[d_i]
@@ -281,6 +360,9 @@ def map_partial_segments(
             p_shard = shard_of_doc[d_i]
             # order by (shard, code, doc) → contiguous posting runs
             order = np.lexsort((p_doc, c_i, p_shard))
+            if store_positions:
+                starts_u = _cumsum0(counts)[:-1]
+                pos_re = pos_by_key[_segment_gather(starts_u[order], counts[order])]
             p_doc, p_dl, p_shard, c_i, counts = (
                 p_doc[order], p_dl[order], p_shard[order], c_i[order], counts[order]
             )
@@ -296,6 +378,11 @@ def map_partial_segments(
             dl_ming = np.minimum.reduceat(p_dl, g_starts)
             dblocks = _pack_blocks(gaps, g_starts, g_ends, _width_of(gap_max))
             tblocks = _pack_blocks(counts, g_starts, g_ends, _width_of(tf_maxg))
+            if store_positions:
+                off = _cumsum0(counts)
+                pf, pe = off[g_starts], off[g_ends]
+                p_max = np.maximum.reduceat(pos_re, pf)
+                pblocks = _pack_blocks(pos_re, pf, pe, _width_of(p_max))
             lasts = p_doc[g_ends - 1]
             ns = (g_ends - g_starts).astype(np.int64)
             rows = {
@@ -312,6 +399,8 @@ def map_partial_segments(
                 # merge_shard_rows reconstructs per-posting dl from the
                 # norms rows; only FINAL segment rows store dl_blocks.
                 "dl_blocks": [[] for _ in range(len(ns))],
+                "pos_blocks": ([[b] for b in pblocks] if store_positions
+                               else [[] for _ in range(len(ns))]),
                 "block_last": [[int(x)] for x in lasts],
                 "block_n": [[int(x)] for x in ns],
                 "block_tf_max": [[int(x)] for x in tf_maxg],
@@ -340,6 +429,7 @@ def map_partial_segments(
                 "doc_blocks": [[b] for b in n_dblocks],
                 "tf_blocks": [[b] for b in n_tblocks],
                 "dl_blocks": [[]] * len(n_ns),
+                "pos_blocks": [[]] * len(n_ns),
                 "block_last": [[]] * len(n_ns),
                 "block_n": [[int(x)] for x in n_ns],
                 "block_tf_max": [[int(x)] for x in sums],

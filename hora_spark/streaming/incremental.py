@@ -80,11 +80,23 @@ def append_build(
     n_new = int(counts["n_live"] or 0)
     base = base_all.filter(F.col("dl") > 0)
 
-    tf = (
-        base.select("doc_id", "dl", F.explode("terms").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    store_positions = bool(meta.get("store_positions", False))
+    if store_positions:
+        # posexplode keeps each occurrence's within-doc position; the
+        # sorted list per (doc, term) feeds pos_blocks at encode
+        tf = (
+            base.select("doc_id", "dl",
+                        F.posexplode("terms").alias("pos", "term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("pos_list"))
+        )
+    else:
+        tf = (
+            base.select("doc_id", "dl", F.explode("terms").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     # frozen stats: the stats table is NOT updated, so terms unseen at
     # build time have no idf and are not searchable until `rebuild`
     # (hora analog: a point inserted into a frozen graph can only link to
@@ -103,10 +115,21 @@ def append_build(
         # the delta commit is one table append. The layout mode follows the
         # EXISTING index (meta), not the caller's cfg — one index, one mode.
         block_size, store_dl = cfg.index.block_size, bool(meta.get("store_dl", True))
-        segs = tf.groupBy("shard_id").applyInPandas(
-            lambda pdf: encode_shard_rows(pdf, block_size, store_dl=store_dl),
-            SEGMENT_SCHEMA,
-        )
+
+        def enc(pdf):
+            if store_positions and len(pdf):
+                import numpy as np
+                pos_flat = np.concatenate(
+                    [np.asarray(p, np.int64) for p in pdf["pos_list"]]
+                )
+                return encode_shard_rows(pdf.drop(columns=["pos_list"]),
+                                         block_size, store_dl=store_dl,
+                                         pos_flat=pos_flat)
+            return encode_shard_rows(
+                pdf.drop(columns=["pos_list"], errors="ignore"),
+                block_size, store_dl=store_dl)
+
+        segs = tf.groupBy("shard_id").applyInPandas(enc, SEGMENT_SCHEMA)
         d_seg = store.stage_dir("segments")
         segs.write.mode("overwrite").partitionBy("shard_id").parquet(d_seg)
         updates["segments"] = [d_seg]
@@ -251,7 +274,7 @@ def rebuild(
     passthrough = {
         k: meta[k]
         for k in ("shard_size", "n_shards", "max_doc_id", "next_doc_id",
-                  "bm25", "store_dl", "unicode")
+                  "bm25", "store_dl", "unicode", "store_positions")
         if k in meta
     }
     _commit_stats_and_lineage(

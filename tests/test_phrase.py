@@ -1,0 +1,146 @@
+"""Phrase search over the store_positions layout: exact token adjacency
+verified from pos_blocks inside the index (no source-text join), scored
+like conjunctive BM25 over the phrase's distinct terms. Oracle: the
+normalized-token-string containment check (' a b ' substring of
+' '+join(tokens)+' ') — exactly adjacency in token space — composed with
+the conjunctive brute-force scorer."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hora_spark.config import EngineConfig, IndexConfig
+from hora_spark.datagen import generate_transcripts
+from hora_spark.engine import Engine
+from hora_spark.functions.tokenize import tokenize_py, tokens_col
+from hora_spark.operators.corpus import assign_doc_ids, prepare
+from hora_spark.operators.oracle import bruteforce_topk
+
+PCFG = EngineConfig(index=IndexConfig(block_size=16, n_buckets=8,
+                                      store_positions=True))
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string"
+
+
+def test_phrase_hand_cases(spark, tmp_path):
+    rows = [
+        ("c0", 0, "u", "alpha beta gamma", None),        # 0: has 'alpha beta'
+        ("c0", 1, "u", "beta alpha", None),              # 1: reversed only
+        ("c0", 2, "u", "alpha x beta", None),            # 2: gapped only
+        ("c0", 3, "u", "x alpha beta alpha beta y", None),  # 3: twice
+        ("c0", 4, "u", "alpha beta alpha", None),        # 4: 'alpha beta alpha'
+        ("c0", 5, "u", "gamma beta gamma", None),        # 5: neither
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    eng = Engine(spark, str(tmp_path / "p"), PCFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+
+    got = sorted(r["doc_id"] for r in eng.search("alpha beta", k=10, mode="phrase").collect())
+    assert got == [0, 3, 4]
+    # punctuation/case-insensitive phrase (same tokenizer as the index)
+    got2 = sorted(r["doc_id"] for r in eng.search("Alpha, BETA!", k=10, mode="phrase").collect())
+    assert got2 == [0, 3, 4]
+    # 3-slot phrase with a duplicate term
+    got3 = sorted(r["doc_id"] for r in eng.search("alpha beta alpha", k=10, mode="phrase").collect())
+    assert got3 == [3, 4]
+    # reversed phrase matches the reversed doc
+    got4 = sorted(r["doc_id"] for r in eng.search("beta alpha", k=10, mode="phrase").collect())
+    assert got4 == [1, 3, 4]
+    # single-token phrase == conjunctive single term
+    got5 = sorted(r["doc_id"] for r in eng.search("gamma", k=10, mode="phrase").collect())
+    assert got5 == [0, 5]
+    # absent term / no adjacency anywhere → empty
+    assert eng.search("beta gamma alpha", k=10, mode="phrase").count() == 0
+    assert eng.search("alpha zzz", k=10, mode="phrase").count() == 0
+    # scores equal the conjunctive scores of the same docs
+    ph = {r["doc_id"]: r["score"] for r in eng.search("alpha beta", k=10, mode="phrase").collect()}
+    cj = {r["doc_id"]: r["score"] for r in eng.search("alpha beta", k=10, mode="all").collect()}
+    for d, s in ph.items():
+        assert cj[d] == s
+    shutil.rmtree(str(tmp_path / "p"), ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def rnd(spark, tmp_path_factory):
+    df = generate_transcripts(spark, 70, seed=23).cache()
+    df.count()
+    path = str(tmp_path_factory.mktemp("pidx"))
+    eng = Engine(spark, path, PCFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    corpus = prepare(df, id_col=None, order_cols=["conv_id", "turn_idx"],
+                     use_pandas_udf=False)
+    with_ids = assign_doc_ids(df, ["conv_id", "turn_idx"])
+    yield eng, corpus, with_ids
+    df.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _phrase_oracle(spark, corpus, with_ids, phrase, k):
+    """Token-string containment (adjacency in token space) ∘ conjunctive
+    brute-force scoring."""
+    norm = F.concat(F.lit(" "), F.array_join(tokens_col(F.col("text")), " "),
+                    F.lit(" "))
+    needle = " " + " ".join(tokenize_py(phrase)) + " "
+    matched = with_ids.filter(norm.contains(needle)).select("doc_id")
+    full = bruteforce_topk(spark, corpus, phrase, k=1 << 30, mode="all")
+    return (full.join(matched, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+@pytest.mark.parametrize("phrase", ["the of", "of the", "water people",
+                                    "the same", "first been", "the the"])
+def test_phrase_matches_like_oracle(spark, rnd, phrase):
+    eng, corpus, with_ids = rnd
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            _phrase_oracle(spark, corpus, with_ids, phrase, 15).collect()]
+    for prune in (True, False):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               eng.search(phrase, k=15, mode="phrase", prune=prune).collect()]
+        assert got == want, (phrase, prune)
+
+
+def test_phrase_survives_append_and_compaction(spark, tmp_path):
+    from hora_spark.streaming.incremental import append_build, merge_segments
+
+    base = spark.createDataFrame(
+        [("c0", 0, "u", "red green blue", None),
+         ("c0", 1, "u", "green red", None)], SCHEMA)
+    eng = Engine(spark, str(tmp_path / "a"), PCFG)
+    eng.build(base, id_col=None, order_cols=["conv_id", "turn_idx"])
+    delta = spark.createDataFrame(
+        [("x0", 0, "u", "deep red green sea", None)], SCHEMA)
+    append_build(spark, eng.store, delta, cfg=PCFG, batch_id="d1")
+    assert sorted(r["doc_id"] for r in
+                  eng.search("red green", k=10, mode="phrase").collect()) == [0, 2]
+    before = [(r["doc_id"], r["score"]) for r in
+              eng.search("red green", k=10, mode="phrase").collect()]
+    merge_segments(spark, eng.store, PCFG)
+    after = [(r["doc_id"], r["score"]) for r in
+             eng.search("red green", k=10, mode="phrase").collect()]
+    assert after == before
+    shutil.rmtree(str(tmp_path / "a"), ignore_errors=True)
+
+
+def test_phrase_with_delete(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("c0", 0, "u", "one two three", None),
+         ("c0", 1, "u", "one two", None),
+         ("c0", 2, "u", "two one", None)], SCHEMA)
+    eng = Engine(spark, str(tmp_path / "d"), PCFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    assert sorted(r["doc_id"] for r in
+                  eng.search("one two", k=10, mode="phrase").collect()) == [0, 1]
+    eng.delete([0])
+    assert [r["doc_id"] for r in
+            eng.search("one two", k=10, mode="phrase").collect()] == [1]
+    shutil.rmtree(str(tmp_path / "d"), ignore_errors=True)
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    df = spark.createDataFrame([("c0", 0, "u", "a b c", None)], SCHEMA)
+    eng = Engine(spark, str(tmp_path / "n"),
+                 EngineConfig(index=IndexConfig(block_size=8, n_buckets=2)))
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.search("a b", k=5, mode="phrase").count()
+    shutil.rmtree(str(tmp_path / "n"), ignore_errors=True)
