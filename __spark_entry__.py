@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from hora_spark.config import BM25Config, EngineConfig, IndexConfig
 from hora_spark.engine import Engine
+from hora_spark.functions.snippets import snippet_sql
 from hora_spark.functions.tokenize import (tokenize_py, tokenize_sql_array,
                                            tokens_col)
 from hora_spark.operators import dedup, multimodal, similarity, textstats
@@ -220,6 +221,20 @@ def _q_search_with_text(spark, sf_dir):
     res = search_with_text(spark, eng.store, _docs(spark, sf_dir),
                            [" ".join(MID_QUERY)], k=K)
     return res.select("doc_id", F.round("score", 6).alias("score"), "text")
+
+
+def _q_search_snippets(spark, sf_dir):
+    """The full retrieval-stack answer shape: WAND top-k → payload
+    join-back → highlighted snippet (pure-Column window around the
+    earliest query-term hit) — all JVM-side after the shard UDF."""
+    from hora_spark.functions.snippets import with_snippets
+    from hora_spark.operators.query import search_with_text
+
+    eng = _engine(spark, sf_dir)
+    res = search_with_text(spark, eng.store, _docs(spark, sf_dir),
+                           [" ".join(MID_QUERY)], k=K)
+    out = with_snippets(res, sorted(set(MID_QUERY)), window=4)
+    return out.select("doc_id", F.round("score", 6).alias("score"), "snippet")
 
 
 def _q_bm25_topk_per_source(spark, sf_dir):
@@ -627,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": _q_bm25_conjunctive,
         "bm25_topk_phrase": _q_bm25_phrase,
         "search_with_text": _q_search_with_text,
+        "search_snippets": _q_search_snippets,
         "topk_per_term": _q_topk_per_term,
         # dedup family
         "exact_dup_groups": _q_exact_dups,
@@ -1070,6 +1086,12 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text "
             "FROM topk t JOIN documents d USING (doc_id)"
+        ),
+        "search_snippets": (
+            "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
+            "SELECT t.doc_id, t.score, "
+            + snippet_sql("d.text", sorted(set(MID_QUERY)), 4)
+            + " AS snippet FROM topk t JOIN documents d USING (doc_id)"
         ),
         "topk_per_term": BM25_CTES
         + """SELECT term, doc_id, tf, rnk FROM (
