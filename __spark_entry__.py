@@ -302,6 +302,52 @@ def _q_bm25_unicode(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+ROUTE_QUERIES = [" ".join(HOT_QUERY), " ".join(RARE_QUERY),
+                 "water stream people"]
+ROUTE_MIN_SCORE = 0.5
+
+
+def _q_route_matches(spark, sf_dir):
+    """Reverse search (Percolator shape): three standing queries score
+    every document with frozen corpus stats; matches ≥ the threshold are
+    routed. The batch twin of streaming/routing.stream_route — one
+    broadcast join + groupBy, no index needed on the doc side."""
+    from hora_spark.streaming.routing import route_docs
+
+    c = _corpus(spark, sf_dir)
+    terms = sorted({t for q in ROUTE_QUERIES for t in q.split()})
+    idf = {r["term"]: float(r["idf"]) for r in
+           c.term_stats.filter(F.col("term").isin(terms)).collect()}
+    out = route_docs(_docs(spark, sf_dir), ROUTE_QUERIES, idf, c.avgdl,
+                     min_score=ROUTE_MIN_SCORE)
+    return out.select("doc_id", "query_id", "score")
+
+
+def _route_sql(queries: list[str], min_score: float) -> str:
+    vals = ", ".join(
+        f"({qi}, '{t}')" for qi, q in enumerate(queries)
+        for t in sorted(set(q.split()))
+    )
+    return (
+        BM25_CTES
+        + f""",
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, tfx.doc_id,
+         ROUND(sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ), 6) AS score
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tfx.doc_id
+)
+SELECT doc_id, query_id, score FROM scored WHERE score >= {min_score}
+"""
+    )
+
+
 def _q_topk_per_term(spark, sf_dir):
     c = _corpus(spark, sf_dir)
     terms = ["join", "dup", "spark"]
@@ -643,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_phrase": _q_bm25_phrase,
         "search_with_text": _q_search_with_text,
         "search_snippets": _q_search_snippets,
+        "route_matches": _q_route_matches,
         "topk_per_term": _q_topk_per_term,
         # dedup family
         "exact_dup_groups": _q_exact_dups,
@@ -1093,6 +1140,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
             + snippet_sql("d.text", sorted(set(MID_QUERY)), 4)
             + " AS snippet FROM topk t JOIN documents d USING (doc_id)"
         ),
+        "route_matches": _route_sql(ROUTE_QUERIES, ROUTE_MIN_SCORE),
         "topk_per_term": BM25_CTES
         + """SELECT term, doc_id, tf, rnk FROM (
                SELECT term, doc_id, tf,
