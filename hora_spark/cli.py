@@ -68,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
                         "= exact adjacency (index must be built with "
                         "--store-positions)")
 
+    rt = sub.add_parser("route", help="reverse search: standing queries "
+                                      "score the input docs with the "
+                                      "index's frozen stats")
+    rt.add_argument("--index", required=True)
+    rt.add_argument("--input", required=True, help="parquet of docs to route")
+    rt.add_argument("-q", "--query", action="append", required=True)
+    rt.add_argument("--min-score", type=float, default=0.5)
+    rt.add_argument("--id-cols", default="doc_id",
+                    help="comma-separated id columns of the input")
+
     a = sub.add_parser("append", help="incrementally index new rows")
     a.add_argument("--input", required=True)
     a.add_argument("--index", required=True)
@@ -143,6 +153,15 @@ def main(argv: list[str] | None = None) -> int:
         for r in res.collect():
             print(json.dumps({"query": args.query[r["query_id"]],
                               "doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.cmd == "route":
+        eng = Engine(spark, args.index)
+        ids = args.id_cols.split(",")
+        out = eng.route(spark.read.parquet(args.input), args.query,
+                        min_score=args.min_score, id_cols=ids)
+        for r in out.collect():
+            print(json.dumps({**{c: r[c] for c in ids},
+                              "query": args.query[r["query_id"]],
+                              "score": r["score"]}))
     elif args.cmd == "append":
         from hora_spark.streaming.incremental import append_build
         eng = Engine(spark, args.index)

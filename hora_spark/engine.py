@@ -95,6 +95,26 @@ class Engine:
         return self.searches([query], k=k, prune=prune, version=version,
                              filter_df=filter_df).drop("query_id")
 
+    def route(self, df: DataFrame, queries: list[str], min_score: float,
+              id_cols: list[str] | None = None, text_col: str = "text") -> DataFrame:
+        """Reverse search: score the rows of `df` (e.g. newly arriving
+        docs) against standing `queries` using THIS index's frozen stats
+        (idf/avgdl); keep matches ≥ min_score. The batch verb behind
+        streaming/routing.stream_route."""
+        from pyspark.sql import functions as F
+
+        from hora_spark.functions.tokenize import tokenize_py
+        from hora_spark.streaming.routing import route_docs
+
+        meta = self.store.meta()
+        uni = bool(meta.get("unicode", False))
+        terms = sorted({t for q in queries for t in tokenize_py(q, unicode=uni)})
+        stats = self.store.read("stats").filter(F.col("term").isin(terms))
+        idf = {r["term"]: float(r["idf"]) for r in stats.collect()}
+        return route_docs(df, queries, idf, float(meta["avgdl"]), min_score,
+                          id_cols=id_cols, text_col=text_col,
+                          bm25=self.cfg.bm25, unicode=uni)
+
     # ------------------------------------------------------- maintenance --
     def delete(self, doc_ids) -> dict:
         """Tombstone docs: excluded from every search immediately (scores

@@ -86,3 +86,21 @@ def test_stream_route_equals_batch_twin(spark, corpus_env, tmp_path):
     want = {(r["conv_id"], r["turn_idx"], r["query_id"]): r["score"]
             for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_engine_route_uses_index_stats(spark, corpus_env, tmp_path):
+    """Engine.route reads idf/avgdl from the built snapshot: routing the
+    index's own corpus must reproduce brute-force scores exactly."""
+    from hora_spark.config import EngineConfig, IndexConfig
+    from hora_spark.engine import Engine
+
+    corpus, _, with_ids = corpus_env
+    eng = Engine(spark, str(tmp_path / "ridx"),
+                 EngineConfig(index=IndexConfig(block_size=16, n_buckets=4)))
+    eng.build(with_ids, id_col="doc_id")
+    out = eng.route(with_ids, QUERIES[:2], min_score=0.0)
+    got = {(r["query_id"], r["doc_id"]): r["score"] for r in out.collect()}
+    for qi, q in enumerate(QUERIES[:2]):
+        want = {r["doc_id"]: round(r["score"], 6) for r in
+                bruteforce_topk(spark, corpus, q, k=1 << 30).collect()}
+        assert {d: s for (i, d), s in got.items() if i == qi} == want, q
