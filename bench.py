@@ -167,6 +167,32 @@ def main() -> None:
                  "text_stats", "knn_bruteforce", "tpch_q1", "events_sessions"):
         timed(f"q_{name}", lambda n=name: qs[n](spark, SF_DIR).collect())
 
+    # ---- extended (round-4) operators: recorded as x_* and EXCLUDED from
+    # the headline total so cross-round totals stay comparable ------------
+    extended: dict[str, float] = {}
+
+    def xtimed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        extended[name] = round(time.perf_counter() - t0, 4)
+
+    xtimed("x_search_conjunctive", lambda: eng.search(
+        "join hash row", k=10, mode="all").collect())
+    fdf = docs.filter(F.col("lang") == "en").select("doc_id")
+    xtimed("x_search_filtered", lambda: eng.search_filtered(
+        "join hash row", fdf, k=10).collect())
+    xtimed("x_route_batch", lambda: eng.route(
+        docs, ["join hash row", "water stream people"], min_score=0.5
+    ).collect())
+    # positional build + phrase on its own index (opt-in layout)
+    pos_path = tempfile.mkdtemp(prefix="hora_bench_pos_")
+    pos_eng = Engine(spark, pos_path, EngineConfig(index=IndexConfig(
+        block_size=128, n_buckets=16, store_positions=True)))
+    xtimed("x_index_build_positions", lambda: pos_eng.build(docs, id_col="doc_id"))
+    xtimed("x_search_phrase", lambda: pos_eng.search(
+        "part filter", k=10, mode="phrase").collect())
+    shutil.rmtree(pos_path, ignore_errors=True)
+
     # ---- scaling evidence: same job, same input, N vs 4N cores ------------
     # N=1, 4N=4 by default: this is ONE machine — all threads share one
     # memory bus, whose aggregate throughput grows only ~3.2-3.4× from 1→8
@@ -239,15 +265,18 @@ def main() -> None:
                 print(f"[bench] WARNING: recorded scaling efficiency "
                       f"{eff:.3f} < north_rule target {target} after "
                       f"{len(los)} attempts", file=sys.stderr)
-            _write_bench_md(scaling, small_cores, big_cores, timings)
+            _write_bench_md(scaling, small_cores, big_cores,
+                            {**timings, **extended})
         else:
             scaling = {"error": "scaling subprocess failed/timed out; see BENCH.md for last good numbers"}
 
     result = {
         "metric": "hora_spark_headline_total",
+        # headline total spans the SAME query list as rounds 1-3; the x_*
+        # extended operators (new in r4) are reported but not totaled
         "value": round(sum(v for v in timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings, **extended},
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "scaling": scaling,
     }
