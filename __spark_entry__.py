@@ -1360,7 +1360,13 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
     # knn_ivf's centroid literals are derived from the sf_dir's embeddings
     # parquet at oracle-build time; if that file is absent (e.g. a partial
     # test checkout) the entry is omitted — knn_ivf then falls back to the
-    # driver's weaker rows-only check instead of failing every oracle
+    # driver's weaker rows-only check instead of failing every oracle.
+    # NEVER silently: the downgrade is announced on stderr (no-silent-caps
+    # convention — a mistyped sf_dir must not quietly weaken the gate).
     if os.path.exists(f"{sf_dir}/embeddings.parquet"):
         o["knn_ivf"] = _knn_ivf_sql(sf_dir)
+    else:
+        print(f"WARNING: {sf_dir}/embeddings.parquet missing — knn_ivf "
+              "oracle omitted, driver falls back to rows-only for it",
+              file=sys.stderr)
     return o

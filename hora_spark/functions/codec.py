@@ -23,6 +23,21 @@ from __future__ import annotations
 
 import numpy as np
 
+
+def segment_gather(starts, lens):
+    """Index array taking variable-length segments (starts[i], lens[i])
+    of a flat array in order — the shared trick for permuting/selecting
+    per-row position lists without Python loops (used by the segment
+    encoder and the phrase verifier)."""
+    total = int(lens.sum()) if len(lens) else 0
+    if total == 0:
+        return np.empty(0, np.int64)
+    cum = np.empty(len(lens) + 1, np.int64)
+    cum[0] = 0
+    np.cumsum(lens, out=cum[1:])
+    return np.repeat(starts - cum[:-1], lens) + np.arange(total, dtype=np.int64)
+
+
 _WIDTHS = np.array([1, 2, 4, 8], dtype=np.int64)
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from hora_spark.functions.codec import decode_block
+from hora_spark.functions.codec import decode_block, segment_gather
 
 
 class TermPosting:
@@ -114,18 +114,6 @@ class TermPosting:
             got = (flat, offs)
             self._pos_cache[j] = got
         return got
-
-
-def _gather_segments(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Index array taking variable-length segments (starts[i], lens[i])
-    of a flat array in order (positions-of-selected-docs gather)."""
-    total = int(lens.sum()) if len(lens) else 0
-    if total == 0:
-        return np.empty(0, np.int64)
-    cum = np.empty(len(lens) + 1, np.int64)
-    cum[0] = 0
-    np.cumsum(lens, out=cum[1:])
-    return np.repeat(starts - cum[:-1], lens) + np.arange(total, dtype=np.int64)
 
 
 def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
@@ -219,44 +207,45 @@ def _score_terms_on_docs(
         qual = counts >= min_match
         uids, scores = uids[qual], scores[qual]
     if deleted is not None and len(deleted) and len(uids):
-        pos = np.searchsorted(deleted, uids)
-        pos = np.minimum(pos, len(deleted) - 1)
-        live = deleted[pos] != uids
+        live = ~_in_sorted(deleted, uids)
         uids, scores = uids[live], scores[live]
     if allowed is not None and len(uids):
-        if len(allowed) == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        pos = np.minimum(np.searchsorted(allowed, uids), len(allowed) - 1)
-        keep = allowed[pos] == uids
+        # empty keep-list = filter active, nothing allowed (None = off)
+        keep = _in_sorted(allowed, uids)
         uids, scores = uids[keep], scores[keep]
     if phrase is not None and len(uids):
         # per slot: (local candidate-doc index, position) pairs from the
         # same decoded blocks, restricted to surviving candidate docs
         slot_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        pair_cache: dict[tuple[int, ...], tuple[np.ndarray, np.ndarray]] = {}
         pmax = 0
         for _, idxs in phrase:
-            locs_l, pos_l = [], []
-            for ti in idxs:
-                t = terms[ti]
-                for j in blocks_per_term[ti]:
-                    ids, tfs, _ = t.decode(int(j))
-                    m = (ids >= lo) & (ids <= hi)
-                    if not m.any():
-                        continue
-                    flat, offs = t.decode_pos(int(j))
-                    sel = np.flatnonzero(m)
-                    p = flat[_gather_segments(offs[sel], tfs[sel])]
-                    d = np.repeat(ids[sel], tfs[sel])
-                    ok = _in_sorted(uids, d)
-                    if ok.any():
-                        locs_l.append(np.searchsorted(uids, d[ok]))
-                        pos_l.append(p[ok])
-            if not locs_l:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-            locs = np.concatenate(locs_l)
-            ps = np.concatenate(pos_l)
-            pmax = max(pmax, int(ps.max()))
-            slot_pairs.append((locs, ps))
+            key = tuple(idxs)
+            cached = pair_cache.get(key)
+            if cached is None:
+                # duplicate-term slots ("a b a") share one decode+gather
+                locs_l, pos_l = [], []
+                for ti in idxs:
+                    t = terms[ti]
+                    for j in blocks_per_term[ti]:
+                        ids, tfs, _ = t.decode(int(j))
+                        m = (ids >= lo) & (ids <= hi)
+                        if not m.any():
+                            continue
+                        flat, offs = t.decode_pos(int(j))
+                        sel = np.flatnonzero(m)
+                        p = flat[segment_gather(offs[sel], tfs[sel])]
+                        d = np.repeat(ids[sel], tfs[sel])
+                        ok = _in_sorted(uids, d)
+                        if ok.any():
+                            locs_l.append(np.searchsorted(uids, d[ok]))
+                            pos_l.append(p[ok])
+                if not locs_l:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                cached = (np.concatenate(locs_l), np.concatenate(pos_l))
+                pair_cache[key] = cached
+            pmax = max(pmax, int(cached[1].max()))
+            slot_pairs.append(cached)
         base = pmax + len(phrase) + 2  # key shifts p + Δoffset stay in range
         slot_keys = [np.unique(l * base + p) for l, p in slot_pairs]
         off0 = phrase[0][0]

@@ -275,6 +275,8 @@ def connected_components(
     The star-pair skew guard upstream keeps over-cap duplicate classes
     star-shaped (diameter ≤ 2 per band), so real corpora converge in a
     handful of rounds."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = (
         edges.unionByName(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))

@@ -38,8 +38,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hora_spark.functions.codec import decode_block, decode_posting, encode_block
+from hora_spark.functions.codec import (decode_block, decode_posting,
+                                        encode_block, segment_gather)
 from hora_spark.functions.tokenize import token_run_regex
+
+_segment_gather = segment_gather  # shared helper, one implementation (codec)
 
 SEGMENT_SCHEMA = (
     "shard_id int, term string, df_local long, "
@@ -83,17 +86,6 @@ def _cumsum0(a: np.ndarray) -> np.ndarray:
     out[0] = 0
     np.cumsum(a, out=out[1:])
     return out
-
-
-def _segment_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Index array that takes variable-length segments (starts[i],
-    lens[i]) of a flat array in order — the standard trick for permuting
-    per-row position lists without Python loops."""
-    total = int(lens.sum()) if len(lens) else 0
-    if total == 0:
-        return np.empty(0, np.int64)
-    rep = np.repeat(starts - _cumsum0(lens)[:-1], lens)
-    return rep + np.arange(total, dtype=np.int64)
 
 
 def _empty() -> pd.DataFrame:

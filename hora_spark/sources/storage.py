@@ -14,19 +14,23 @@ Layout (works on any Hadoop-compatible FS — local dir, file:/, HDFS, S3A):
     <root>/snapshots/v00000001.json               manifest per commit
     <root>/snapshots/CURRENT                      advisory pointer
 
-A manifest maps table name → list of data dirs. Commits are atomic via
-write-temp + FileSystem.rename (rename refuses an existing destination, so
-two concurrent committers cannot both publish the same version — one gets
-a RuntimeError). The CURRENT file is advisory/human-readable only; the
-source of truth for `current_version` is the manifest listing, so a
+A manifest maps table name → list of data dirs. Commits publish via
+write-temp + FileSystem.rename. On filesystems with atomic rename that
+refuses an existing destination (local FS — verified live — and HDFS),
+two concurrent committers cannot both publish the same version: the loser
+gets a RuntimeError. S3A's rename is a non-atomic copy, so there the
+race guard is BEST-EFFORT only — run S3A deployments with a single
+writer per index (or an external lock); data dirs themselves are always
+immutable either way. The CURRENT file is advisory/human-readable only;
+the source of truth for `current_version` is the manifest listing, so a
 torn/missing pointer can never mis-resolve the head. `read(table,
 version)` gives time travel (`VERSION AS OF` semantics).
 
 Filesystem scope: DATA dirs go through Spark readers/writers and ALL
 manifest I/O + `expire_snapshots` GC go through the Hadoop FileSystem API
-resolved from the root path's scheme — the whole store works on HDFS/S3A
+resolved from the root path's scheme — the store runs on HDFS/S3A
 unchanged (round-4 closes the r3 caveat that manifests were os/json/shutil
-local-only).
+local-only), with the concurrent-commit guarantee scoped as above.
 
 Iceberg mapping (not implemented here — the sandbox has no Iceberg runtime
 jars; this store IS the same shape): each logical table becomes a real
@@ -146,8 +150,10 @@ class SnapshotStore:
         replace=True swaps the table's dirs; False appends to them.
         drop: tables removed from the new manifest (e.g. the deletes
         tombstone table after compaction physically removed the rows).
-        Raises on a concurrent commit of the same version (the manifest
-        rename refuses an existing destination)."""
+        Raises on a concurrent commit of the same version where the FS
+        rename is atomic (local/HDFS; best-effort on S3A — see module
+        docstring); a rename failed for any other transient reason
+        surfaces under the same error."""
         v = self.current_version()
         manifest = self._manifest(v)
         tables = manifest["tables"]

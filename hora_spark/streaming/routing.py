@@ -51,8 +51,15 @@ def route_docs(
             for qi, ts in enumerate(q_terms) for t in ts if t in term_idf]
     spark = df.sparkSession
     if not rows:
-        empty = ", ".join(f"{c} long" for c in id_cols)
-        return spark.createDataFrame([], f"{empty}, query_id int, score double")
+        # empty result with the REAL id-column types (hardcoding long
+        # would poison an append-mode sink's schema for string ids)
+        from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                       StructType)
+
+        id_fields = [df.schema[c] for c in id_cols]
+        schema = StructType(id_fields + [StructField("query_id", IntegerType()),
+                                         StructField("score", DoubleType())])
+        return spark.createDataFrame([], schema)
     qdf = spark.createDataFrame(rows, "query_id int, term string, idf double")
 
     toks = tokens_col(F.col(text_col), unicode=unicode)

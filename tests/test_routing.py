@@ -104,3 +104,21 @@ def test_engine_route_uses_index_stats(spark, corpus_env, tmp_path):
         want = {r["doc_id"]: round(r["score"], 6) for r in
                 bruteforce_topk(spark, corpus, q, k=1 << 30).collect()}
         assert {d: s for (i, d), s in got.items() if i == qi} == want, q
+
+
+def test_route_empty_result_keeps_id_schema(spark, corpus_env, tmp_path):
+    """Absent-term routing with STRING id columns must return an empty
+    frame with the real id types — a hardcoded long schema would poison
+    an append-mode sink (review finding r4)."""
+    corpus, idf, with_ids = corpus_env
+    out = route_docs(with_ids, ["zzzqqq absent"], idf, corpus.avgdl,
+                     min_score=0.0, id_cols=["conv_id", "turn_idx"])
+    assert out.count() == 0
+    fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert fields["conv_id"] == "string" and fields["turn_idx"] == "int"
+    # and it appends cleanly next to a non-empty result
+    sink = str(tmp_path / "mixsink")
+    out.write.mode("append").parquet(sink)
+    route_docs(with_ids, QUERIES[:1], idf, corpus.avgdl, min_score=0.0,
+               id_cols=["conv_id", "turn_idx"]).write.mode("append").parquet(sink)
+    assert spark.read.parquet(sink).count() > 0
