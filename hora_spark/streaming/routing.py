@@ -36,10 +36,13 @@ def route_docs(
     text_col: str = "text",
     bm25: BM25Config | None = None,
     unicode: bool = False,
+    sort: bool = True,
 ) -> DataFrame:
     """Score every row of df against every standing query; keep matches
     with score ≥ min_score. Returns id_cols + (query_id, score), score
-    rounded to 6dp, ordered (query_id, score DESC, ids).
+    rounded to 6dp, ordered (query_id, score DESC, ids) unless sort=False
+    (the streaming sink skips the per-batch global sort — parquet appends
+    are unordered anyway).
 
     term_idf: frozen idf per term (union over all queries' terms is
     enough); terms missing from it contribute nothing — the same
@@ -73,14 +76,16 @@ def route_docs(
     )
     sat = (F.col("tf") / (F.col("tf") + bm25.k1 * (
         1.0 - bm25.b + bm25.b * F.col("_dl") / F.lit(float(avgdl)))))
-    return (
+    out = (
         tf.join(F.broadcast(qdf), "term")
         .withColumn("_contrib", F.col("idf") * sat)
         .groupBy(*id_cols, "query_id")
         .agg(F.round(F.sum("_contrib"), 6).alias("score"))
         .filter(F.col("score") >= min_score)
-        .orderBy("query_id", F.desc("score"), *id_cols)
     )
+    if sort:
+        out = out.orderBy("query_id", F.desc("score"), *id_cols)
+    return out
 
 
 def stream_route(
@@ -108,7 +113,7 @@ def stream_route(
             return
         out = route_docs(batch_df, queries, term_idf, avgdl, min_score,
                          id_cols=id_cols, text_col=text_col, bm25=bm25,
-                         unicode=unicode)
+                         unicode=unicode, sort=False)
         out.write.mode("append").parquet(sink_dir)
 
     return (

@@ -144,3 +144,35 @@ def test_phrase_requires_positions(spark, tmp_path):
     with pytest.raises(ValueError, match="store_positions"):
         eng.search("a b", k=5, mode="phrase").count()
     shutil.rmtree(str(tmp_path / "n"), ignore_errors=True)
+
+
+def test_positional_partition_independence(spark, tmp_path):
+    """The determinism invariant extends to pos_blocks: same input at two
+    shuffle widths → byte-identical positional segments and identical
+    phrase results."""
+    df = generate_transcripts(spark, 30, seed=3)
+    fingerprints, results = [], []
+    for parts in (3, 11):
+        path = str(tmp_path / f"pp{parts}")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            eng = Engine(spark, path, PCFG)
+            eng.build(df.repartition(parts), id_col=None,
+                      order_cols=["conv_id", "turn_idx"])
+            rows = (eng.store.read("segments")
+                    .select("shard_id", "term", "doc_blocks", "pos_blocks")
+                    .collect())
+            fingerprints.append(sorted(
+                (r["shard_id"], r["term"],
+                 tuple(bytes(b) for b in r["doc_blocks"]),
+                 tuple(bytes(b) for b in r["pos_blocks"]))
+                for r in rows))
+            results.append([
+                (r["doc_id"], round(r["score"], 9))
+                for r in eng.search("the of", k=10, mode="phrase").collect()
+            ])
+        finally:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+            shutil.rmtree(path, ignore_errors=True)
+    assert fingerprints[0] == fingerprints[1], "pos_blocks differ across parallelism"
+    assert results[0] == results[1]
