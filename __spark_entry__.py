@@ -200,6 +200,54 @@ def _q_bm25_phrase(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+NEAR_QUERY = "table hash"
+NEAR_WINDOW = 4
+
+
+def _q_bm25_near(spark, sf_dir):
+    """Proximity search on the positional index: some occurrence of the
+    first term has every other term within NEAR_WINDOW tokens. Oracle:
+    per-term 0-based position lists in SQL + a pairwise distance check,
+    composed with the conjunctive BM25 scorer."""
+    key = sf_dir + "#pos"
+    if key not in _ENGINE_CACHE:
+        _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
+    res = _ENGINE_CACHE[key].search(NEAR_QUERY, k=K, mode="near",
+                                    near_window=NEAR_WINDOW)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_near_sql(query: str, window: int, k: int = K) -> str:
+    t1, t2 = query.split()
+    p = ("list_filter(range(len(toks)), i -> toks[i+1] = '{t}')")
+    p1, p2 = p.format(t=t1), p.format(t=t2)
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES ('{t1}'), ('{t2}')),
+matched AS (
+  SELECT doc_id FROM tok
+  WHERE len(list_filter({p1},
+        p -> len(list_filter({p2}, qq -> abs(qq - p) <= {window})) > 0)) > 0),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  JOIN matched USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tfx.doc_id
+  HAVING count(*) = 2
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
 def _q_bm25_filtered(spark, sf_dir):
     """Filtered search through the WAND path: exact top-k among ONLY the
     lang='en' docs ('search just the English turns'), scores frozen at the
@@ -687,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_conjunctive": _q_bm25_conjunctive,
         "bm25_topk_phrase": _q_bm25_phrase,
+        "bm25_topk_near": _q_bm25_near,
         "search_with_text": _q_search_with_text,
         "search_snippets": _q_search_snippets,
         "route_matches": _q_route_matches,
@@ -1129,6 +1178,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_topk_filtered": _bm25_sql(HOT_QUERY, keep_where="lang = 'en'"),
         "bm25_topk_conjunctive": _bm25_sql(HOT_QUERY, conjunctive=True),
         "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
+        "bm25_topk_near": _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW),
         "search_with_text": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text "

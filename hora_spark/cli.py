@@ -63,10 +63,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet path whose first column is the ALLOWED "
                         "doc ids (filtered search: exact top-k among "
                         "them, scores unchanged)")
-    s.add_argument("--mode", default="any", choices=["any", "all", "phrase"],
+    s.add_argument("--mode", default="any",
+                   choices=["any", "all", "phrase", "near"],
                    help="'all' = conjunctive (every query term); 'phrase' "
-                        "= exact adjacency (index must be built with "
-                        "--store-positions)")
+                        "= exact adjacency; 'near' = every term within "
+                        "--near-window tokens of the first (phrase/near "
+                        "need an index built with --store-positions)")
+    s.add_argument("--near-window", type=int, default=5)
 
     rt = sub.add_parser("route", help="reverse search: standing queries "
                                       "score the input docs with the "
@@ -149,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
         eng = Engine(spark, args.index)
         fdf = spark.read.parquet(args.filter) if args.filter else None
         res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
-                           filter_df=fdf, mode=args.mode)
+                           filter_df=fdf, mode=args.mode,
+                           near_window=args.near_window)
         for r in res.collect():
             print(json.dumps({"query": args.query[r["query_id"]],
                               "doc_id": r["doc_id"], "score": r["score"]}))

@@ -64,17 +64,20 @@ class Engine:
 
     # ----------------------------------------------------------- search ---
     def search(self, query: str, k: int | None = None, prune: bool = True,
-               version: int | None = None, mode: str = "any") -> DataFrame:
+               version: int | None = None, mode: str = "any",
+               near_window: int = 5) -> DataFrame:
         """mode='all' gives conjunctive (AND) semantics — only docs
         matching every query term, scored with the same BM25 sums.
-        mode='phrase' requires exact token adjacency (index built with
-        IndexConfig.store_positions=True), scored like 'all'."""
+        mode='phrase' requires exact token adjacency, mode='near'
+        proximity within near_window tokens of the first term (both need
+        an index built with IndexConfig.store_positions=True), scored
+        like 'all'."""
         return self.searches([query], k=k, prune=prune, version=version,
-                             mode=mode).drop("query_id")
+                             mode=mode, near_window=near_window).drop("query_id")
 
     def searches(self, queries: list[str], k: int | None = None, prune: bool = True,
                  version: int | None = None, filter_df: DataFrame | None = None,
-                 mode: str = "any") -> DataFrame:
+                 mode: str = "any", near_window: int = 5) -> DataFrame:
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
         v = self.store.current_version() if version is None else version
@@ -82,7 +85,7 @@ class Engine:
         return _query.search_topk(
             self.spark, self.store, queries, k=k or self.cfg.k_default,
             cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
-            filter_df=filter_df, mode=mode,
+            filter_df=filter_df, mode=mode, near_window=near_window,
         )
 
     def search_filtered(self, query: str, filter_df: DataFrame,

@@ -155,6 +155,7 @@ def _score_terms_on_docs(
     allowed: np.ndarray | None = None,
     min_match: int = 0,
     phrase: list[tuple[int, list[int]]] | None = None,
+    near_window: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
@@ -174,6 +175,14 @@ def _score_terms_on_docs(
     blocks (a doc lives entirely inside one block of one source, so its
     positions never straddle intervals). Callers pass min_match =
     len(distinct phrase terms), so candidates already contain every term.
+
+    near_window (proximity mode, requires phrase slots = one per DISTINCT
+    term in query order): instead of exact shifts, keep docs where some
+    occurrence p of the FIRST term has, for every other term, an
+    occurrence within |q − p| ≤ near_window tokens. The composite-key
+    base exceeds max_pos + near_window, so a near-neighbor in key space
+    is automatically in the same doc — one sorted prev/next lookup per
+    slot, no per-doc loop.
 
     deleted: optional SORTED int64 array of tombstoned doc ids — they are
     dropped before the heap, so survivors' scores are untouched (the
@@ -246,14 +255,31 @@ def _score_terms_on_docs(
                 pair_cache[key] = cached
             pmax = max(pmax, int(cached[1].max()))
             slot_pairs.append(cached)
-        base = pmax + len(phrase) + 2  # key shifts p + Δoffset stay in range
+        # key base: shifted/near keys must stay inside one doc's range
+        pad = (near_window if near_window is not None else len(phrase)) + 2
+        base = pmax + pad
         slot_keys = [np.unique(l * base + p) for l, p in slot_pairs]
-        off0 = phrase[0][0]
         cur = slot_keys[0]
-        for (off, _), keys_t in zip(phrase[1:], slot_keys[1:]):
-            cur = cur[_in_sorted(keys_t, cur + (off - off0))]
-            if len(cur) == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
+        if near_window is None:
+            # exact adjacency: chain of shifted-key memberships
+            off0 = phrase[0][0]
+            for (off, _), keys_t in zip(phrase[1:], slot_keys[1:]):
+                cur = cur[_in_sorted(keys_t, cur + (off - off0))]
+                if len(cur) == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+        else:
+            # proximity: anchor occurrences of the first term must have a
+            # neighbor within near_window in EVERY other slot — nearest
+            # sorted neighbor (prev/next) per anchor, vectorized
+            for keys_t in slot_keys[1:]:
+                idx = np.searchsorted(keys_t, cur)
+                nxt = np.minimum(idx, len(keys_t) - 1)
+                prv = np.maximum(idx - 1, 0)
+                near = np.minimum(np.abs(keys_t[nxt] - cur),
+                                  np.abs(cur - keys_t[prv])) <= near_window
+                cur = cur[near]
+                if len(cur) == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
         keep = np.zeros(len(uids), dtype=bool)
         keep[np.unique(cur // base)] = True
         uids, scores = uids[keep], scores[keep]
@@ -273,13 +299,15 @@ def shard_topk(
     allowed: np.ndarray | None = None,
     min_match: int = 0,
     phrase: list[tuple[int, list[int]]] | None = None,
+    near_window: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
 
     phrase: slot list for exact phrase matching (see
     _score_terms_on_docs) — combine with min_match = len(distinct phrase
     terms); θ then tracks the k-th best PHRASE-qualified score, keeping
-    block-max pruning exact for phrases too.
+    block-max pruning exact for phrases too. near_window switches the
+    slot check from exact adjacency to anchored proximity.
 
     min_match = len(query terms) gives conjunctive (AND) semantics: only
     docs matching every term may appear; their scores are the usual sums.
@@ -310,7 +338,7 @@ def shard_topk(
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
-            deleted, allowed, min_match, phrase,
+            deleted, allowed, min_match, phrase, near_window,
         )
         return _topk(ids, scores, k)
 
@@ -374,6 +402,7 @@ def shard_topk(
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
                 avgdl, k1, b, deleted, allowed, min_match, phrase,
+                near_window,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

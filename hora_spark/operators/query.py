@@ -54,6 +54,7 @@ def _shard_search(
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     mode: str = "any",
+    near_window: int = 5,
 ) -> pd.DataFrame:
     """One shard group: this shard's segment rows for all query terms.
     Runs WAND once per query. Doc lengths are decoded from the postings'
@@ -103,10 +104,11 @@ def _shard_search(
                         is not None and len(pb) else None),
         ))
     out_q, out_d, out_s = [], [], []
+    positional = mode in ("phrase", "near")
     for qid, terms in enumerate(queries):
-        # phrase mode ships RAW ordered token lists (duplicates matter);
-        # other modes ship sorted distinct terms
-        distinct = sorted(set(terms)) if mode == "phrase" else terms
+        # phrase/near modes ship RAW ordered token lists (order and, for
+        # phrase, duplicates matter); other modes ship sorted distinct
+        distinct = sorted(set(terms)) if positional else terms
         tp: list[TermPosting] = []
         idx_of: dict[str, list[int]] = {}
         for t in distinct:
@@ -116,19 +118,31 @@ def _shard_search(
         if not tp:
             continue
         phrase = None
-        if mode == "phrase":
+        nw = None
+        if positional:
             if len(idx_of) < len(distinct):
-                continue  # an absent term makes the phrase unmatchable
-            phrase = [(off, idx_of[tok]) for off, tok in enumerate(terms)]
-        # conjunctive/phrase: require every DISTINCT query term — for
-        # mode="all", terms absent from the corpus are counted too
+                continue  # an absent term makes the match unreachable
+            if mode == "phrase":
+                phrase = [(off, idx_of[tok]) for off, tok in enumerate(terms)]
+            else:
+                # near: one slot per DISTINCT term in query order; the
+                # first is the proximity anchor
+                seen: list[str] = []
+                for tok in terms:
+                    if tok not in seen:
+                        seen.append(tok)
+                phrase = [(i, idx_of[tok]) for i, tok in enumerate(seen)]
+                nw = near_window
+        # conjunctive/phrase/near: require every DISTINCT query term —
+        # for mode="all", terms absent from the corpus are counted too
         # (len(terms) includes them), making min_match unreachable and
         # the query empty, which IS conjunctive semantics
         mm = (len(terms) if mode == "all"
-              else len(distinct) if mode == "phrase" else 0)
+              else len(distinct) if positional else 0)
         ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
                                  deleted=deleted, allowed=allowed,
-                                 min_match=mm, phrase=phrase)
+                                 min_match=mm, phrase=phrase,
+                                 near_window=nw)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -154,6 +168,7 @@ def search_topk(
     idf_cache: dict | None = None,
     filter_df: DataFrame | None = None,
     mode: str = "any",
+    near_window: int = 5,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
@@ -164,7 +179,10 @@ def search_topk(
     'phrase' (exact adjacency: the query's token sequence must occur
     contiguously in the doc — verified from pos_blocks inside the index,
     no source-text join; requires IndexConfig.store_positions=True;
-    scored like 'all' over the phrase's distinct terms).
+    scored like 'all' over the phrase's distinct terms), or 'near'
+    (proximity: some occurrence of the FIRST query term has every other
+    distinct term within near_window tokens; same positional layout
+    requirement, same conjunctive scoring).
 
     idf_cache: optional {term: idf | None} dict scoped to ONE snapshot
     version (the Engine keys it by version) — repeat terms skip the stats
@@ -193,13 +211,14 @@ def search_topk(
     # tokenize with the INDEX's pinned mode (recorded at build time) —
     # a unicode-built index must see unicode query terms and vice versa
     uni = bool(meta.get("unicode", False))
-    if mode == "phrase":
+    if mode in ("phrase", "near"):
         if not bool(meta.get("store_positions", False)):
             raise ValueError(
-                "phrase search requires an index built with "
+                f"{mode} search requires an index built with "
                 "IndexConfig.store_positions=True"
             )
-        # raw ordered token lists — duplicates and order define the phrase
+        # raw ordered token lists — order (and, for phrase, duplicates)
+        # define the match
         q_terms = [tokenize_py(q, unicode=uni) for q in queries]
     else:
         q_terms = [sorted(set(tokenize_py(q, unicode=uni))) for q in queries]
@@ -231,7 +250,7 @@ def search_topk(
                   else live_terms + [NORMS_TERM])
     seg_cols = ["shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
                 "block_last", "block_tf_max", "block_dl_min"]
-    if mode == "phrase":  # positions read ONLY when the query needs them
+    if mode in ("phrase", "near"):  # positions read ONLY when needed
         seg_cols.append("pos_blocks")
     segs = (
         store.read("segments", version)
@@ -298,7 +317,8 @@ def search_topk(
                     alw = np.unique(ids_np[tag == 0])
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=dels,
-                                 allowed=alw, mode=mode)
+                                 allowed=alw, mode=mode,
+                                 near_window=near_window)
 
         local = (
             segs.groupby("shard_id").cogroup(aux.groupby("shard_id"))
@@ -315,7 +335,8 @@ def search_topk(
         def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=b_del.value,
-                                 allowed=b_allow.value, mode=mode)
+                                 allowed=b_allow.value, mode=mode,
+                                 near_window=near_window)
 
         local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -176,3 +176,122 @@ def test_positional_partition_independence(spark, tmp_path):
             shutil.rmtree(path, ignore_errors=True)
     assert fingerprints[0] == fingerprints[1], "pos_blocks differ across parallelism"
     assert results[0] == results[1]
+
+
+def test_phrase_unicode_combined(spark, tmp_path):
+    """Layout options compose: unicode tokenizer + positional layout →
+    CJK phrase search (adjacent han runs are single tokens, so the phrase
+    is over space/punct-separated units)."""
+    rows = [
+        ("c0", 0, "u", "数据 处理 系统", None),       # adjacent 数据,处理
+        ("c0", 1, "u", "处理 数据", None),            # reversed
+        ("c0", 2, "u", "数据 x 处理", None),          # gapped
+        ("c1", 0, "u", "поток данных и 数据 处理", None),  # mixed, adjacent
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    eng = Engine(spark, str(tmp_path / "up"), EngineConfig(index=IndexConfig(
+        block_size=8, n_buckets=2, unicode=True, store_positions=True)))
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    got = sorted(r["doc_id"] for r in
+                 eng.search("数据 处理", k=10, mode="phrase").collect())
+    assert got == [0, 3]
+    assert [r["doc_id"] for r in
+            eng.search("处理 数据", k=10, mode="phrase").collect()] == [1]
+    meta = eng.store.meta()
+    assert meta["unicode"] and meta["store_positions"]
+    shutil.rmtree(str(tmp_path / "up"), ignore_errors=True)
+
+
+# ----------------------------------------------------------- near mode ---
+
+def test_near_hand_cases(spark, tmp_path):
+    """Proximity: some occurrence of the FIRST query term has every other
+    distinct term within near_window tokens (anchored semantics, pinned)."""
+    rows = [
+        ("c0", 0, "u", "aa x y bb", None),            # dist 3
+        ("c0", 1, "u", "aa x y z w bb", None),        # dist 5
+        ("c0", 2, "u", "bb aa", None),                # dist 1, reversed
+        ("c0", 3, "u", "bb q aa r s t u cc", None),   # aa@2: bb@0 d2, cc@7 d5
+        ("c0", 4, "u", "aa bb cc", None),             # all adjacent
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    eng = Engine(spark, str(tmp_path / "nr"), PCFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+
+    got3 = sorted(r["doc_id"] for r in
+                  eng.search("aa bb", k=10, mode="near", near_window=3).collect())
+    assert got3 == [0, 2, 3, 4]
+    got5 = sorted(r["doc_id"] for r in
+                  eng.search("aa bb", k=10, mode="near", near_window=5).collect())
+    assert got5 == [0, 1, 2, 3, 4]
+    # 3-term anchored: anchor aa@2 in doc 3 → bb within 2, cc at dist 5
+    assert sorted(r["doc_id"] for r in eng.search(
+        "aa bb cc", k=10, mode="near", near_window=4).collect()) == [4]
+    assert sorted(r["doc_id"] for r in eng.search(
+        "aa bb cc", k=10, mode="near", near_window=5).collect()) == [3, 4]
+    # scores equal conjunctive scores of the same docs
+    nr = {r["doc_id"]: r["score"] for r in
+          eng.search("aa bb", k=10, mode="near", near_window=3).collect()}
+    cj = {r["doc_id"]: r["score"] for r in
+          eng.search("aa bb", k=10, mode="all").collect()}
+    for d, s in nr.items():
+        assert cj[d] == s
+    shutil.rmtree(str(tmp_path / "nr"), ignore_errors=True)
+
+
+def _near_oracle_2term(spark, corpus, with_ids, t1, t2, w, k):
+    """Spark-expression twin for two terms: position sets via indexed
+    transform, existence of a pair within w, ∘ conjunctive scoring."""
+    toks = tokens_col(F.col("text"))
+
+    def pos_of(term):
+        tagged = F.transform(toks, lambda x, i: F.when(x == F.lit(term), i)
+                             .otherwise(F.lit(-1)))
+        return F.filter(tagged, lambda p: p >= 0)
+
+    p1, p2 = pos_of(t1), pos_of(t2)
+    hit = F.exists(p1, lambda a: F.exists(p2, lambda b: F.abs(b - a) <= w))
+    matched = with_ids.filter(hit).select("doc_id")
+    full = bruteforce_topk(spark, corpus, f"{t1} {t2}", k=1 << 30, mode="all")
+    return (full.join(matched, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+@pytest.mark.parametrize("pair,w", [(("the", "of"), 2), (("water", "people"), 4),
+                                    (("the", "w00123"), 6)])
+def test_near_matches_expression_oracle(spark, rnd, pair, w):
+    eng, corpus, with_ids = rnd
+    t1, t2 = pair
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            _near_oracle_2term(spark, corpus, with_ids, t1, t2, w, 15).collect()]
+    for prune in (True, False):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               eng.search(f"{t1} {t2}", k=15, mode="near", near_window=w,
+                          prune=prune).collect()]
+        assert got == want, (pair, w, prune)
+
+
+def test_phrase_results_subset_of_near(spark, rnd):
+    """A phrase match implies a near match with window = phrase span."""
+    eng, _, _ = rnd
+    # untruncated: the subset property is over the FULL match sets (a
+    # top-k cut of the larger near set may drop low-ranked phrase docs)
+    big = 1 << 20
+    any_nonempty = False
+    for q in ["the of", "of the", "water people"]:
+        ph = {r["doc_id"] for r in eng.search(q, k=big, mode="phrase").collect()}
+        nr = {r["doc_id"] for r in eng.search(
+            q, k=big, mode="near", near_window=len(q.split()) - 1).collect()}
+        assert ph <= nr, q
+        any_nonempty = any_nonempty or bool(ph)
+    assert any_nonempty  # the property was exercised on real matches
+
+
+def test_near_requires_positions(spark, tmp_path):
+    df = spark.createDataFrame([("c0", 0, "u", "a b c", None)], SCHEMA)
+    eng = Engine(spark, str(tmp_path / "nn"),
+                 EngineConfig(index=IndexConfig(block_size=8, n_buckets=2)))
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.search("a b", k=5, mode="near").count()
+    shutil.rmtree(str(tmp_path / "nn"), ignore_errors=True)
