@@ -191,6 +191,8 @@ def main() -> None:
     xtimed("x_index_build_positions", lambda: pos_eng.build(docs, id_col="doc_id"))
     xtimed("x_search_phrase", lambda: pos_eng.search(
         "part filter", k=10, mode="phrase").collect())
+    xtimed("x_search_near", lambda: pos_eng.search(
+        "table hash", k=10, mode="near", near_window=4).collect())
     shutil.rmtree(pos_path, ignore_errors=True)
 
     # ---- scaling evidence: same job, same input, N vs 4N cores ------------

@@ -81,6 +81,20 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(["build", "--input", out, "--index", idx3,
                      "--unicode"]) == 0
     assert cli.main(["search", "--index", idx3, "-q", "the of", "-k", "5"]) == 0
+    # positional layout: phrase + near + conjunctive through the CLI
+    idx4 = str(tmp_path / "idx_pos")
+    assert cli.main(["build", "--input", out, "--index", idx4,
+                     "--store-positions"]) == 0
+    assert cli.main(["search", "--index", idx4, "-q", "the of", "-k", "5",
+                     "--mode", "phrase"]) == 0
+    assert cli.main(["search", "--index", idx4, "-q", "the of", "-k", "5",
+                     "--mode", "near", "--near-window", "3"]) == 0
+    assert cli.main(["search", "--index", idx4, "-q", "the of", "-k", "5",
+                     "--mode", "all"]) == 0
+    # reverse search through the CLI (route the corpus against a query)
+    assert cli.main(["route", "--index", idx4, "--input", out,
+                     "-q", "the of", "--min-score", "1.0",
+                     "--id-cols", "conv_id,turn_idx"]) == 0
 
 
 def test_idf_cache_identical_results(spark, tmp_path):
