@@ -295,3 +295,36 @@ def test_near_requires_positions(spark, tmp_path):
     with pytest.raises(ValueError, match="store_positions"):
         eng.search("a b", k=5, mode="near").count()
     shutil.rmtree(str(tmp_path / "nn"), ignore_errors=True)
+
+
+def test_phrase_with_store_dl_false_layout(spark, tmp_path):
+    """Layout knobs compose: the space-lean norms-sidecar dl layout and
+    the positional layout are orthogonal — phrase/near results must be
+    identical to the default-layout index over the same corpus."""
+    df = generate_transcripts(spark, 25, seed=9)
+    cfg_nodl = EngineConfig(index=IndexConfig(
+        block_size=16, n_buckets=4, store_positions=True, store_dl=False))
+    cfg_dl = EngineConfig(index=IndexConfig(
+        block_size=16, n_buckets=4, store_positions=True))
+    res = {}
+    for name, cfg in (("nodl", cfg_nodl), ("dl", cfg_dl)):
+        eng = Engine(spark, str(tmp_path / name), cfg)
+        eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+        res[name] = {
+            mode: [(r["doc_id"], round(r["score"], 9)) for r in
+                   eng.search("the of", k=15, mode=mode,
+                              near_window=3).collect()]
+            for mode in ("phrase", "near", "all", "any")
+        }
+        shutil.rmtree(str(tmp_path / name), ignore_errors=True)
+    assert res["nodl"] == res["dl"]
+    assert res["dl"]["phrase"], "phrase matches expected in this corpus"
+
+
+def test_positional_empty_corpus(spark, tmp_path):
+    """Phrase/near on a well-formed EMPTY positional index → 0 rows."""
+    df = spark.createDataFrame([], SCHEMA)
+    eng = Engine(spark, str(tmp_path / "pe"), PCFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    assert eng.search("a b", k=5, mode="phrase").count() == 0
+    assert eng.search("a b", k=5, mode="near").count() == 0
