@@ -110,6 +110,13 @@ class Engine:
         from hora_spark.streaming.routing import route_docs
 
         meta = self.store.meta()
+        if "avgdl" not in meta:
+            # same remedy message as search_topk — routing needs the
+            # frozen corpus stats a build commits
+            raise FileNotFoundError(
+                f"no built index at {self.store.root!r}: routing scores "
+                "against a snapshot's frozen idf/avgdl — run build first"
+            )
         uni = bool(meta.get("unicode", False))
         terms = sorted({t for q in queries for t in tokenize_py(q, unicode=uni)})
         stats = self.store.read("stats").filter(F.col("term").isin(terms))

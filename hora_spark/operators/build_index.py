@@ -249,10 +249,12 @@ def build_index(
         shard_size = int(meta["shard_size"])
         max_id = int(meta["max_doc_id"])
         # the resumed build must use the SAME shard count the original
-        # derived (adaptive counts depend on the id span, so re-deriving
-        # is equivalent; the stored value wins if present)
+        # derived; for metas that predate the n_shards key, the staged
+        # layout itself is the ground truth — re-deriving from cfg could
+        # disagree with the staged shard_size (different cfg, or a span
+        # above min_shards*target) and mislabel the committed layout
         n_shards = int(meta.get("n_shards")
-                       or cfg.index.n_shards_for(max_id + 1))
+                       or -(-(max_id + 1) // shard_size))
         partials = store.read("partials")
         staged = True
     else:

@@ -8,7 +8,7 @@ Four tiers, all shuffle-conscious:
                 candidate pairs within buckets → exact Jaccard verify.
                 Portable hashing (md5) keeps the WHOLE pipeline
                 SQL-expressible → full DuckDB oracle.
-- simhash:      64-bit bitwise-majority fingerprint from token md5s;
+- simhash:      60-bit bitwise-majority fingerprint from token md5s;
                 near-dup = identical simhash band keys (Hamming blocking).
 - ngram-jaccard: exact pairwise Jaccard via a token-set self-join
                 (quadratic — gated to small/candidate sets; LSH is the

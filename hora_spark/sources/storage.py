@@ -45,22 +45,45 @@ from __future__ import annotations
 
 import json
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+
+# schemes whose rename is a non-atomic copy (object stores): the
+# concurrent-commit race guard is best-effort there — single writer per
+# index (or an external lock) is the documented deployment contract
+_NONATOMIC_RENAME_SCHEMES = ("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss")
+
+
+def _warn_if_nonatomic_rename(root: str) -> None:
+    scheme = root.split("://", 1)[0].lower() if "://" in root else ""
+    if scheme in _NONATOMIC_RENAME_SCHEMES:
+        warnings.warn(
+            f"SnapshotStore root {root!r} uses scheme '{scheme}', whose "
+            "rename is a non-atomic copy: the concurrent-commit race guard "
+            "is BEST-EFFORT only. Run a single writer per index (or hold an "
+            "external lock around commits).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        _warn_if_nonatomic_rename(self.root)
         sc = spark.sparkContext
         self._P = sc._jvm.org.apache.hadoop.fs.Path
         self._IOUtils = sc._jvm.org.apache.commons.io.IOUtils
-        self._fs = self._P(self.root).getFileSystem(
-            sc._jsc.hadoopConfiguration()
-        )
+        self._fs = self._resolve_fs(sc)
         self._fs.mkdirs(self._P(f"{self.root}/snapshots"))
         self._fs.mkdirs(self._P(f"{self.root}/data"))
+
+    def _resolve_fs(self, sc):
+        """Hadoop FileSystem for the root's scheme (factored out so tests
+        can stub object-store schemes the sandbox has no jars for)."""
+        return self._P(self.root).getFileSystem(sc._jsc.hadoopConfiguration())
 
     # ------------------------------------------------------- fs helpers --
     def _read_text(self, path: str) -> str:

@@ -104,9 +104,14 @@ def stream_route(
     unicode: bool = False,
 ):
     """readStream over document parquet → route_docs per micro-batch →
-    append-mode parquet sink (each match emitted exactly once — routing
-    is stateless per doc, so checkpointed offsets alone give
-    exactly-once). Returns the streaming query."""
+    parquet sink, written IDEMPOTENTLY: each batch lands in its own
+    hive-style `batch_id=<n>` subdirectory with mode('overwrite'), so a
+    replayed batch (failure between the data write and the checkpoint's
+    offset commit — foreachBatch alone is only at-least-once) rewrites
+    the same directory instead of appending duplicates. Checkpointed
+    offsets + deterministic per-batch overwrite = exactly-once sink
+    contents; `spark.read.parquet(sink_dir)` sees batch_id as a
+    discovered partition column. Returns the streaming query."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -114,7 +119,7 @@ def stream_route(
         out = route_docs(batch_df, queries, term_idf, avgdl, min_score,
                          id_cols=id_cols, text_col=text_col, bm25=bm25,
                          unicode=unicode, sort=False)
-        out.write.mode("append").parquet(sink_dir)
+        out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={int(batch_id)}")
 
     return (
         spark.readStream.schema(schema)

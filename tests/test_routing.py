@@ -122,3 +122,45 @@ def test_route_empty_result_keeps_id_schema(spark, corpus_env, tmp_path):
     route_docs(with_ids, QUERIES[:1], idf, corpus.avgdl, min_score=0.0,
                id_cols=["conv_id", "turn_idx"]).write.mode("append").parquet(sink)
     assert spark.read.parquet(sink).count() > 0
+
+
+def test_stream_route_replay_is_idempotent(spark, corpus_env, tmp_path):
+    """The at-least-once hole foreachBatch leaves open: a failure AFTER
+    the batch's data write but BEFORE the checkpoint's offset commit
+    replays the batch on restart. The batch_id-keyed overwrite sink must
+    absorb the replay without duplicating matches (exactly-once sink
+    contents). Simulated by deleting the checkpoint's commit marker for
+    batch 0 and restarting the stream."""
+    import os
+
+
+    corpus, idf, with_ids = corpus_env
+    src = str(tmp_path / "rsrc")
+    ck = str(tmp_path / "rck")
+    sink = str(tmp_path / "rsink")
+    b1 = generate_transcripts(spark, 10, seed=93).withColumn(
+        "conv_id", F.concat(F.lit("r1"), F.col("conv_id")))
+    b1.write.mode("overwrite").parquet(src)
+    q = stream_route(spark, src, ck, sink, QUERIES, idf, corpus.avgdl,
+                     min_score=0.3, schema=TRANSCRIPT_SCHEMA,
+                     id_cols=["conv_id", "turn_idx"])
+    q.awaitTermination(120)
+    first = sorted(
+        (r["conv_id"], r["turn_idx"], r["query_id"], r["score"])
+        for r in spark.read.parquet(sink).collect())
+    assert len(first) > 0
+    # crash window: data written, offset commit lost → replay batch 0
+    commit0 = os.path.join(ck, "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = stream_route(spark, src, ck, sink, QUERIES, idf, corpus.avgdl,
+                      min_score=0.3, schema=TRANSCRIPT_SCHEMA,
+                      id_cols=["conv_id", "turn_idx"])
+    q2.awaitTermination(120)
+    replayed = sorted(
+        (r["conv_id"], r["turn_idx"], r["query_id"], r["score"])
+        for r in spark.read.parquet(sink).collect())
+    assert replayed == first  # no duplicates, no loss

@@ -102,3 +102,30 @@ def test_engine_build_search_on_file_scheme_root(spark, tmp_path):
     eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
     got = eng.search("index", k=5).collect()
     assert [r["doc_id"] for r in got] == [1, 0]
+
+
+def test_s3a_root_warns_nonatomic_rename(spark, monkeypatch):
+    """An object-store root (s3a) must emit the best-effort-race-guard
+    warning at construction. The sandbox has no s3a jars, so FS
+    resolution is stubbed — the warning fires BEFORE resolution either
+    way (it keys off the root's scheme string alone)."""
+    from hora_spark.sources.storage import SnapshotStore
+
+    class _FakeFS:
+        def mkdirs(self, path):
+            return True
+
+    monkeypatch.setattr(SnapshotStore, "_resolve_fs",
+                        lambda self, sc: _FakeFS())
+    with pytest.warns(RuntimeWarning, match="BEST-EFFORT"):
+        SnapshotStore(spark, "s3a://bucket/index")
+
+
+def test_local_root_does_not_warn(spark, tmp_path):
+    import warnings as _w
+
+    from hora_spark.sources.storage import SnapshotStore
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        SnapshotStore(spark, f"file:{tmp_path}/idx_nowarn")
