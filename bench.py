@@ -163,6 +163,10 @@ def main() -> None:
 
     # ---- oracle path, dedup, knn, relational ------------------------------
     qs = entrymod.queries()
+    # bm25_topk_hot was consolidated into bm25_topk_multi in r5; the bench
+    # key keeps timing the SAME single-query brute-force plan for
+    # cross-round comparability
+    qs["bm25_topk_hot"] = entrymod._mk_bm25_query(entrymod.HOT_QUERY)
     for name in ("bm25_topk_hot", "exact_dedup_count", "minhash_lsh_pairs",
                  "text_stats", "knn_bruteforce", "tpch_q1", "events_sessions"):
         timed(f"q_{name}", lambda n=name: qs[n](spark, SF_DIR).collect())
@@ -193,6 +197,13 @@ def main() -> None:
         "part filter", k=10, mode="phrase").collect())
     xtimed("x_search_near", lambda: pos_eng.search(
         "table hash", k=10, mode="near", near_window=4).collect())
+    # mixed-mode batch-10 in ONE job (6 any + 2 all + 1 phrase + 1 near;
+    # tools/mixed_mode_ab.py measures ~3.3× vs mode-segregated jobs)
+    mixed10 = ([(q, "any", None) for q in QUERY_SET[:6]]
+               + [(q, "all", None) for q in QUERY_SET[6:8]]
+               + [("part filter", "phrase", None), ("table hash", "near", 4)])
+    xtimed("x_search_mixed_batch_10",
+           lambda: pos_eng.searches(mixed10, k=10).collect())
     shutil.rmtree(pos_path, ignore_errors=True)
 
     # ---- scaling evidence: same job, same input, N vs 4N cores ------------

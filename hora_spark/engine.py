@@ -75,9 +75,14 @@ class Engine:
         return self.searches([query], k=k, prune=prune, version=version,
                              mode=mode, near_window=near_window).drop("query_id")
 
-    def searches(self, queries: list[str], k: int | None = None, prune: bool = True,
+    def searches(self, queries: list, k: int | None = None, prune: bool = True,
                  version: int | None = None, filter_df: DataFrame | None = None,
                  mode: str = "any", near_window: int = 5) -> DataFrame:
+        """Batched search: ONE Spark job for any number of queries.
+        Each element of `queries` is a string (searched with the
+        call-level mode/near_window) or a (text, mode) /
+        (text, mode, near_window) tuple — a mixed workload (phrase +
+        bag-of-words + conjunctive) still runs as a single job."""
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
         v = self.store.current_version() if version is None else version

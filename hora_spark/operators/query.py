@@ -44,7 +44,7 @@ _EMPTY = pd.DataFrame(
 
 def _shard_search(
     seg_pdf: pd.DataFrame,
-    queries: list[list[str]],
+    queries: list[tuple[list[str], str, int]],
     idf_map: dict,
     k: int,
     avgdl: float,
@@ -53,8 +53,6 @@ def _shard_search(
     prune: bool,
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
-    mode: str = "any",
-    near_window: int = 5,
 ) -> pd.DataFrame:
     """One shard group: this shard's segment rows for all query terms.
     Runs WAND once per query. Doc lengths are decoded from the postings'
@@ -104,8 +102,10 @@ def _shard_search(
                         is not None and len(pb) else None),
         ))
     out_q, out_d, out_s = [], [], []
-    positional = mode in ("phrase", "near")
-    for qid, terms in enumerate(queries):
+    # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
+    # normal shape of real traffic — one Spark job serves it)
+    for qid, (terms, mode, near_window) in enumerate(queries):
+        positional = mode in ("phrase", "near")
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct
         distinct = sorted(set(terms)) if positional else terms
@@ -173,6 +173,14 @@ def search_topk(
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
 
+    queries: list of query strings, OR per-query (text, mode) /
+    (text, mode, near_window) tuples — a MIXED batch (phrase + bag-of-
+    words + conjunctive) runs as ONE Spark job: the shard UDF already
+    loops per query, so the mode simply rides along; the scan reads
+    pos_blocks only when some query in the batch is positional. Plain
+    strings (and None tuple slots) fall back to the call-level
+    mode/near_window arguments.
+
     mode: 'any' (default, bag-of-words OR), 'all' (conjunctive — only
     docs matching EVERY distinct query term, scored with the same sums;
     a query containing a corpus-absent term returns no rows), or
@@ -208,21 +216,40 @@ def search_topk(
     avgdl = float(meta["avgdl"])
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
+    # normalize to per-query (text, mode, near_window) specs; plain
+    # strings inherit the call-level defaults
+    _VALID = ("any", "all", "phrase", "near")
+    specs: list[tuple[str, str, int]] = []
+    for q in queries:
+        if isinstance(q, str):
+            specs.append((q, mode, near_window))
+        else:
+            parts = tuple(q)
+            q_mode = parts[1] if len(parts) > 1 and parts[1] else mode
+            q_nw = (int(parts[2]) if len(parts) > 2 and parts[2] is not None
+                    else near_window)
+            specs.append((parts[0], q_mode, q_nw))
+    bad = sorted({m for _, m, _ in specs if m not in _VALID})
+    if bad:
+        raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
+    any_positional = any(m in ("phrase", "near") for _, m, _ in specs)
+    if any_positional and not bool(meta.get("store_positions", False)):
+        raise ValueError(
+            "phrase/near search requires an index built with "
+            "IndexConfig.store_positions=True"
+        )
+
     # tokenize with the INDEX's pinned mode (recorded at build time) —
-    # a unicode-built index must see unicode query terms and vice versa
+    # a unicode-built index must see unicode query terms and vice versa.
+    # positional queries keep RAW ordered token lists (order and, for
+    # phrase, duplicates define the match); others sorted distinct
     uni = bool(meta.get("unicode", False))
-    if mode in ("phrase", "near"):
-        if not bool(meta.get("store_positions", False)):
-            raise ValueError(
-                f"{mode} search requires an index built with "
-                "IndexConfig.store_positions=True"
-            )
-        # raw ordered token lists — order (and, for phrase, duplicates)
-        # define the match
-        q_terms = [tokenize_py(q, unicode=uni) for q in queries]
-    else:
-        q_terms = [sorted(set(tokenize_py(q, unicode=uni))) for q in queries]
-    all_terms = sorted({t for ts in q_terms for t in ts})
+    q_specs = [
+        (tokenize_py(q, unicode=uni) if m in ("phrase", "near")
+         else sorted(set(tokenize_py(q, unicode=uni))), m, nw)
+        for q, m, nw in specs
+    ]
+    all_terms = sorted({t for ts, _, _ in q_specs for t in ts})
     if not all_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -240,7 +267,7 @@ def search_topk(
     if not live_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    b_queries = spark.sparkContext.broadcast(q_terms)
+    b_queries = spark.sparkContext.broadcast(q_specs)
     b_idf = spark.sparkContext.broadcast(idf_map)
 
     # store_dl=True (default): the scan reads strictly query-term rows.
@@ -250,7 +277,7 @@ def search_topk(
                   else live_terms + [NORMS_TERM])
     seg_cols = ["shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
                 "block_last", "block_tf_max", "block_dl_min"]
-    if mode in ("phrase", "near"):  # positions read ONLY when needed
+    if any_positional:  # positions read ONLY when some query needs them
         seg_cols.append("pos_blocks")
     segs = (
         store.read("segments", version)
@@ -317,8 +344,7 @@ def search_topk(
                     alw = np.unique(ids_np[tag == 0])
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=dels,
-                                 allowed=alw, mode=mode,
-                                 near_window=near_window)
+                                 allowed=alw)
 
         local = (
             segs.groupby("shard_id").cogroup(aux.groupby("shard_id"))
@@ -335,8 +361,7 @@ def search_topk(
         def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
             return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
                                  avgdl, k1, b, prune, deleted=b_del.value,
-                                 allowed=b_allow.value, mode=mode,
-                                 near_window=near_window)
+                                 allowed=b_allow.value)
 
         local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
