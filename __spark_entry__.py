@@ -279,6 +279,63 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
     )
 
 
+NEAR_UNORD_QUERY = "table hash join"
+NEAR_UNORD_WINDOW = 3
+
+
+def _q_bm25_near_unordered(spark, sf_dir):
+    """Order-free proximity (Lucene-slop-like) on the positional index:
+    some occurrence of ANY query term has every other term within the
+    window. Three terms, so it genuinely differs from the anchored mode.
+    Oracle: per-term 0-based position lists + an any-anchor pairwise
+    distance check, composed with the conjunctive BM25 scorer."""
+    key = sf_dir + "#pos"
+    if key not in _ENGINE_CACHE:
+        _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
+    res = _ENGINE_CACHE[key].search(NEAR_UNORD_QUERY, k=K,
+                                    mode="near_unordered",
+                                    near_window=NEAR_UNORD_WINDOW)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_near_unordered_sql(query: str, window: int, k: int = K) -> str:
+    terms = sorted(set(query.split()))
+    pos = {t: f"list_filter(range(len(toks)), i -> toks[i+1] = '{t}')"
+           for t in terms}
+    anchor_preds = []
+    for t in terms:
+        others = " AND ".join(
+            f"len(list_filter({pos[o]}, q -> abs(q - p) <= {window})) > 0"
+            for o in terms if o != t)
+        anchor_preds.append(f"len(list_filter({pos[t]}, p -> {others})) > 0")
+    matched = "\n     OR ".join(anchor_preds)
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT doc_id FROM tok
+  WHERE {matched}),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  JOIN matched USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tfx.doc_id
+  HAVING count(*) = {len(terms)}
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
 # one batch, four modes, ONE Spark job (round-5: per-query mode rides
 # through the shard UDF; tools/mixed_mode_ab.py measures ~3.3× over
 # mode-segregated jobs at batch-10)
@@ -829,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": _q_bm25_conjunctive,
         "bm25_topk_phrase": _q_bm25_phrase,
         "bm25_topk_near": _q_bm25_near,
+        "bm25_topk_near_unordered": _q_bm25_near_unordered,
         "search_mixed_batch": _q_search_mixed_batch,
         "search_with_text": _q_search_with_text,
         "search_snippets": _q_search_snippets,
@@ -1266,6 +1324,8 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_topk_conjunctive": _bm25_sql(HOT_QUERY, conjunctive=True),
         "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
         "bm25_topk_near": _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW),
+        "bm25_topk_near_unordered": _bm25_near_unordered_sql(
+            NEAR_UNORD_QUERY, NEAR_UNORD_WINDOW),
         "search_mixed_batch": _mixed_batch_sql(),
         "search_with_text": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "

@@ -197,6 +197,8 @@ def main() -> None:
         "part filter", k=10, mode="phrase").collect())
     xtimed("x_search_near", lambda: pos_eng.search(
         "table hash", k=10, mode="near", near_window=4).collect())
+    xtimed("x_search_near_unordered", lambda: pos_eng.search(
+        "table hash join", k=10, mode="near_unordered", near_window=3).collect())
     # mixed-mode batch-10 in ONE job (6 any + 2 all + 1 phrase + 1 near;
     # tools/mixed_mode_ab.py measures ~3.3× vs mode-segregated jobs)
     mixed10 = ([(q, "any", None) for q in QUERY_SET[:6]]

@@ -64,10 +64,12 @@ def main(argv: list[str] | None = None) -> int:
                         "doc ids (filtered search: exact top-k among "
                         "them, scores unchanged)")
     s.add_argument("--mode", default="any",
-                   choices=["any", "all", "phrase", "near"],
+                   choices=["any", "all", "phrase", "near", "near_unordered"],
                    help="'all' = conjunctive (every query term); 'phrase' "
                         "= exact adjacency; 'near' = every term within "
-                        "--near-window tokens of the first (phrase/near "
+                        "--near-window tokens of the first; "
+                        "'near_unordered' = within the window of ANY "
+                        "term's occurrence, order-free (positional modes "
                         "need an index built with --store-positions)")
     s.add_argument("--near-window", type=int, default=5)
 

@@ -69,9 +69,11 @@ class Engine:
         """mode='all' gives conjunctive (AND) semantics — only docs
         matching every query term, scored with the same BM25 sums.
         mode='phrase' requires exact token adjacency, mode='near'
-        proximity within near_window tokens of the first term (both need
-        an index built with IndexConfig.store_positions=True), scored
-        like 'all'."""
+        proximity within near_window tokens of the first term,
+        mode='near_unordered' proximity to ANY term's occurrence
+        (order-free, Lucene-slop-like; == 'near' for 2-term queries).
+        Positional modes need an index built with
+        IndexConfig.store_positions=True; all are scored like 'all'."""
         return self.searches([query], k=k, prune=prune, version=version,
                              mode=mode, near_window=near_window).drop("query_id")
 

@@ -156,6 +156,7 @@ def _score_terms_on_docs(
     min_match: int = 0,
     phrase: list[tuple[int, list[int]]] | None = None,
     near_window: int | None = None,
+    near_unordered: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
@@ -183,6 +184,15 @@ def _score_terms_on_docs(
     base exceeds max_pos + near_window, so a near-neighbor in key space
     is automatically in the same doc — one sorted prev/next lookup per
     slot, no per-doc loop.
+
+    near_unordered=True relaxes the anchor to ANY term's occurrence
+    (order-free, closer to Lucene slop): the doc matches iff SOME
+    occurrence p of SOME query term has, for every OTHER term, an
+    occurrence within near_window of p. Identical to anchored near for
+    2-term queries (|p−q| ≤ w is symmetric); strictly more permissive
+    from 3 terms up. Same composite-key machinery, one anchored pass per
+    candidate anchor slot (O(n_terms²) sorted lookups on the candidate
+    sets).
 
     deleted: optional SORTED int64 array of tombstoned doc ids — they are
     dropped before the heap, so survivors' scores are untouched (the
@@ -268,18 +278,37 @@ def _score_terms_on_docs(
                 if len(cur) == 0:
                     return np.empty(0, np.int64), np.empty(0, np.float64)
         else:
-            # proximity: anchor occurrences of the first term must have a
-            # neighbor within near_window in EVERY other slot — nearest
-            # sorted neighbor (prev/next) per anchor, vectorized
-            for keys_t in slot_keys[1:]:
-                idx = np.searchsorted(keys_t, cur)
-                nxt = np.minimum(idx, len(keys_t) - 1)
-                prv = np.maximum(idx - 1, 0)
-                near = np.minimum(np.abs(keys_t[nxt] - cur),
-                                  np.abs(cur - keys_t[prv])) <= near_window
-                cur = cur[near]
-                if len(cur) == 0:
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
+            # proximity: anchor occurrences must have a neighbor within
+            # near_window in EVERY other slot — nearest sorted neighbor
+            # (prev/next) per anchor, vectorized
+            def _filter_anchored(cur, others):
+                for keys_t in others:
+                    if len(cur) == 0:
+                        break
+                    idx = np.searchsorted(keys_t, cur)
+                    nxt = np.minimum(idx, len(keys_t) - 1)
+                    prv = np.maximum(idx - 1, 0)
+                    near = np.minimum(np.abs(keys_t[nxt] - cur),
+                                      np.abs(cur - keys_t[prv])) <= near_window
+                    cur = cur[near]
+                return cur
+
+            if not near_unordered:
+                # anchored: the FIRST term's occurrences are the anchors
+                cur = _filter_anchored(cur, slot_keys[1:])
+            else:
+                # unordered: ANY term's occurrence may anchor — one
+                # anchored pass per anchor slot, survivors unioned
+                survivors = [
+                    _filter_anchored(slot_keys[a],
+                                     slot_keys[:a] + slot_keys[a + 1:])
+                    for a in range(len(slot_keys))
+                ]
+                survivors = [s for s in survivors if len(s)]
+                cur = (np.concatenate(survivors) if survivors
+                       else np.empty(0, np.int64))
+            if len(cur) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         keep = np.zeros(len(uids), dtype=bool)
         keep[np.unique(cur // base)] = True
         uids, scores = uids[keep], scores[keep]
@@ -300,6 +329,7 @@ def shard_topk(
     min_match: int = 0,
     phrase: list[tuple[int, list[int]]] | None = None,
     near_window: int | None = None,
+    near_unordered: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
 
@@ -307,7 +337,8 @@ def shard_topk(
     _score_terms_on_docs) — combine with min_match = len(distinct phrase
     terms); θ then tracks the k-th best PHRASE-qualified score, keeping
     block-max pruning exact for phrases too. near_window switches the
-    slot check from exact adjacency to anchored proximity.
+    slot check from exact adjacency to anchored proximity;
+    near_unordered relaxes the anchor to any term's occurrence.
 
     min_match = len(query terms) gives conjunctive (AND) semantics: only
     docs matching every term may appear; their scores are the usual sums.
@@ -338,7 +369,7 @@ def shard_topk(
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
-            deleted, allowed, min_match, phrase, near_window,
+            deleted, allowed, min_match, phrase, near_window, near_unordered,
         )
         return _topk(ids, scores, k)
 
@@ -402,7 +433,7 @@ def shard_topk(
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
                 avgdl, k1, b, deleted, allowed, min_match, phrase,
-                near_window,
+                near_window, near_unordered,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

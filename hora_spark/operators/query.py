@@ -35,6 +35,8 @@ from hora_spark.sources.storage import SnapshotStore
 
 RESULT_SCHEMA = "query_id int, doc_id long, score double"
 
+POSITIONAL_MODES = ("phrase", "near", "near_unordered")
+
 _EMPTY = pd.DataFrame(
     {"query_id": pd.Series([], dtype=np.int32),
      "doc_id": pd.Series([], dtype=np.int64),
@@ -105,7 +107,7 @@ def _shard_search(
     # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
     # normal shape of real traffic — one Spark job serves it)
     for qid, (terms, mode, near_window) in enumerate(queries):
-        positional = mode in ("phrase", "near")
+        positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct
         distinct = sorted(set(terms)) if positional else terms
@@ -125,8 +127,9 @@ def _shard_search(
             if mode == "phrase":
                 phrase = [(off, idx_of[tok]) for off, tok in enumerate(terms)]
             else:
-                # near: one slot per DISTINCT term in query order; the
-                # first is the proximity anchor
+                # near/near_unordered: one slot per DISTINCT term in
+                # query order; anchored near uses the first as the
+                # proximity anchor, unordered lets any slot anchor
                 seen: list[str] = []
                 for tok in terms:
                     if tok not in seen:
@@ -142,7 +145,8 @@ def _shard_search(
         ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
                                  deleted=deleted, allowed=allowed,
                                  min_match=mm, phrase=phrase,
-                                 near_window=nw)
+                                 near_window=nw,
+                                 near_unordered=(mode == "near_unordered"))
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -190,7 +194,11 @@ def search_topk(
     scored like 'all' over the phrase's distinct terms), or 'near'
     (proximity: some occurrence of the FIRST query term has every other
     distinct term within near_window tokens; same positional layout
-    requirement, same conjunctive scoring).
+    requirement, same conjunctive scoring), or 'near_unordered'
+    (order-free proximity, closer to Lucene slop: some occurrence of
+    ANY query term has every other distinct term within near_window
+    tokens — identical to 'near' for 2-term queries, strictly more
+    permissive from 3 terms up).
 
     idf_cache: optional {term: idf | None} dict scoped to ONE snapshot
     version (the Engine keys it by version) — repeat terms skip the stats
@@ -218,7 +226,7 @@ def search_topk(
 
     # normalize to per-query (text, mode, near_window) specs; plain
     # strings inherit the call-level defaults
-    _VALID = ("any", "all", "phrase", "near")
+    _VALID = ("any", "all") + POSITIONAL_MODES
     specs: list[tuple[str, str, int]] = []
     for q in queries:
         if isinstance(q, str):
@@ -232,7 +240,7 @@ def search_topk(
     bad = sorted({m for _, m, _ in specs if m not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    any_positional = any(m in ("phrase", "near") for _, m, _ in specs)
+    any_positional = any(m in POSITIONAL_MODES for _, m, _ in specs)
     if any_positional and not bool(meta.get("store_positions", False)):
         raise ValueError(
             "phrase/near search requires an index built with "
@@ -245,7 +253,7 @@ def search_topk(
     # phrase, duplicates define the match); others sorted distinct
     uni = bool(meta.get("unicode", False))
     q_specs = [
-        (tokenize_py(q, unicode=uni) if m in ("phrase", "near")
+        (tokenize_py(q, unicode=uni) if m in POSITIONAL_MODES
          else sorted(set(tokenize_py(q, unicode=uni))), m, nw)
         for q, m, nw in specs
     ]
