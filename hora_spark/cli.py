@@ -72,6 +72,22 @@ def main(argv: list[str] | None = None) -> int:
                         "term's occurrence, order-free (positional modes "
                         "need an index built with --store-positions)")
     s.add_argument("--near-window", type=int, default=5)
+    s.add_argument("--not", dest="exclude", default=None, metavar="TERMS",
+                   help="NOT terms (must_not): docs containing any of "
+                        "these tokens are excluded; survivors' scores "
+                        "unchanged")
+    s.add_argument("--min-match", type=int, default=0,
+                   help="minimum_should_match: keep only docs matching "
+                        "at least this many distinct query terms "
+                        "(mode=any)")
+    s.add_argument("--prefix", action="store_true",
+                   help="parse trailing-'*' words as dictionary prefix "
+                        "queries (tok* matches every index term starting "
+                        "with tok, each scored with its own idf)")
+    s.add_argument("--facet-by", default=None, metavar="PARQUET:COLUMN",
+                   help="instead of top-k rows, print facet counts over "
+                        "ALL matching docs, grouped by COLUMN of the "
+                        "docs table at PARQUET (first column = doc id)")
 
     rt = sub.add_parser("route", help="reverse search: standing queries "
                                       "score the input docs with the "
@@ -153,12 +169,28 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
         eng = Engine(spark, args.index)
         fdf = spark.read.parquet(args.filter) if args.filter else None
-        res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
-                           filter_df=fdf, mode=args.mode,
-                           near_window=args.near_window)
-        for r in res.collect():
-            print(json.dumps({"query": args.query[r["query_id"]],
-                              "doc_id": r["doc_id"], "score": r["score"]}))
+        if args.facet_by:
+            path, _, col = args.facet_by.rpartition(":")
+            docs = spark.read.parquet(path)
+            res = eng.facets(args.query, docs, col, id_col=docs.columns[0],
+                             filter_df=fdf, mode=args.mode,
+                             near_window=args.near_window,
+                             exclude=args.exclude, min_match=args.min_match,
+                             expand_prefixes=args.prefix)
+            for r in res.orderBy("query_id", "facet").collect():
+                print(json.dumps({"query": args.query[r["query_id"]],
+                                  "facet": r["facet"],
+                                  "n_docs": r["n_docs"]}))
+        else:
+            res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
+                               filter_df=fdf, mode=args.mode,
+                               near_window=args.near_window,
+                               exclude=args.exclude,
+                               min_match=args.min_match,
+                               expand_prefixes=args.prefix)
+            for r in res.collect():
+                print(json.dumps({"query": args.query[r["query_id"]],
+                                  "doc_id": r["doc_id"], "score": r["score"]}))
     elif args.cmd == "route":
         eng = Engine(spark, args.index)
         ids = args.id_cols.split(",")

@@ -118,6 +118,12 @@ class EngineConfig:
     # append_build compacts automatically (one row per (shard, term)
     # again; results unchanged — stats stay frozen). None disables.
     max_delta_batches: int | None = 16
+    # prefix queries ("tok*") expand against the stats-table dictionary;
+    # a stem matching more index terms than this ceiling raises instead
+    # of running (a one-letter prefix over a web-scale vocabulary would
+    # collect an unbounded term list to the driver and OR thousands of
+    # posting scans — Lucene's maxClauseCount guard, same reasoning)
+    max_prefix_expansion: int = 1024
     # tombstone sets at or below this many ids are collected to the driver
     # and broadcast (8 bytes/id → ≤ ~8 MB); above it the query and
     # compaction paths switch to a shard-aligned cogroup so the delete set

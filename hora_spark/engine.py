@@ -65,7 +65,8 @@ class Engine:
     # ----------------------------------------------------------- search ---
     def search(self, query: str, k: int | None = None, prune: bool = True,
                version: int | None = None, mode: str = "any",
-               near_window: int = 5) -> DataFrame:
+               near_window: int = 5, exclude: str | None = None,
+               min_match: int = 0, expand_prefixes: bool = False) -> DataFrame:
         """mode='all' gives conjunctive (AND) semantics — only docs
         matching every query term, scored with the same BM25 sums.
         mode='phrase' requires exact token adjacency, mode='near'
@@ -73,18 +74,28 @@ class Engine:
         mode='near_unordered' proximity to ANY term's occurrence
         (order-free, Lucene-slop-like; == 'near' for 2-term queries).
         Positional modes need an index built with
-        IndexConfig.store_positions=True; all are scored like 'all'."""
+        IndexConfig.store_positions=True; all are scored like 'all'.
+        exclude='tok ...' drops docs containing any of those tokens
+        (must_not; survivors' scores unchanged); min_match=n keeps only
+        docs matching ≥ n distinct query terms (minimum_should_match,
+        mode='any'); expand_prefixes=True parses trailing-'*' words as
+        dictionary prefix queries ("tok*")."""
         return self.searches([query], k=k, prune=prune, version=version,
-                             mode=mode, near_window=near_window).drop("query_id")
+                             mode=mode, near_window=near_window,
+                             exclude=exclude, min_match=min_match,
+                             expand_prefixes=expand_prefixes).drop("query_id")
 
     def searches(self, queries: list, k: int | None = None, prune: bool = True,
                  version: int | None = None, filter_df: DataFrame | None = None,
-                 mode: str = "any", near_window: int = 5) -> DataFrame:
+                 mode: str = "any", near_window: int = 5,
+                 exclude: str | None = None, min_match: int = 0,
+                 expand_prefixes: bool = False) -> DataFrame:
         """Batched search: ONE Spark job for any number of queries.
         Each element of `queries` is a string (searched with the
-        call-level mode/near_window) or a (text, mode) /
-        (text, mode, near_window) tuple — a mixed workload (phrase +
-        bag-of-words + conjunctive) still runs as a single job."""
+        call-level options), a (text, mode) / (text, mode, near_window)
+        tuple, or a dict with any of {text, mode, near_window, exclude,
+        min_match, prefix} — a mixed workload (phrase + bag-of-words +
+        NOT + prefix) still runs as a single job."""
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
         v = self.store.current_version() if version is None else version
@@ -93,6 +104,36 @@ class Engine:
             self.spark, self.store, queries, k=k or self.cfg.k_default,
             cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
             filter_df=filter_df, mode=mode, near_window=near_window,
+            exclude=exclude, min_match=min_match,
+            expand_prefixes=expand_prefixes,
+        )
+
+    def matches(self, queries: list, version: int | None = None,
+                filter_df: DataFrame | None = None, mode: str = "any",
+                near_window: int = 5, exclude: str | None = None,
+                min_match: int = 0, expand_prefixes: bool = False) -> DataFrame:
+        """ALL matching docs per query (match enumeration, no top-k):
+        → DataFrame(query_id, doc_id, score), unordered. Feeds facet
+        panels, match counting, and corpus-filter exports."""
+        v = self.store.current_version() if version is None else version
+        cache = self._idf_caches.setdefault(v, {})
+        return _query.search_matches(
+            self.spark, self.store, queries, cfg=self.cfg, version=version,
+            idf_cache=cache, filter_df=filter_df, mode=mode,
+            near_window=near_window, exclude=exclude, min_match=min_match,
+            expand_prefixes=expand_prefixes,
+        )
+
+    def facets(self, queries: list, docs_df: DataFrame, facet_col: str,
+               id_col: str = "doc_id", **kw) -> DataFrame:
+        """Facet counts over ALL matching docs, grouped by a docs-table
+        column: → DataFrame(query_id, facet, n_docs). kw = any matches()
+        option (mode, exclude, min_match, expand_prefixes, filter_df)."""
+        v = self.store.current_version() if kw.get("version") is None else kw["version"]
+        cache = self._idf_caches.setdefault(v, {})
+        return _query.facet_counts(
+            self.spark, self.store, queries, docs_df, facet_col,
+            id_col=id_col, cfg=self.cfg, idf_cache=cache, **kw,
         )
 
     def search_filtered(self, query: str, filter_df: DataFrame,

@@ -317,7 +317,7 @@ def _score_terms_on_docs(
 
 def shard_topk(
     terms: list[TermPosting],
-    k: int,
+    k: int | None,
     avgdl: float,
     k1: float,
     b: float,
@@ -365,13 +365,16 @@ def shard_topk(
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
-    if not prune:
+    if not prune or k is None:
+        # k=None = match ENUMERATION (facets / match counting / export):
+        # every qualified doc with its exact score, no heap, no pruning —
+        # enumeration is inherently exhaustive, so block-max cannot help
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
             deleted, allowed, min_match, phrase, near_window, near_unordered,
         )
-        return _topk(ids, scores, k)
+        return (ids, scores) if k is None else _topk(ids, scores, k)
 
     # ---- block-max pruned path -------------------------------------------
     # elementary intervals over all block boundaries

@@ -44,6 +44,9 @@ def bruteforce_topk(
     k: int = 10,
     cfg: EngineConfig | None = None,
     mode: str = "any",
+    exclude: str | None = None,
+    min_match: int = 0,
+    prefix_stems: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k: (doc_id, score) ordered by (score DESC, doc_id ASC).
 
@@ -51,12 +54,26 @@ def bruteforce_topk(
     matching no term never appear (score 0 docs are excluded, like a heap
     that never sees them). mode='all' keeps only docs matching EVERY
     distinct query term (conjunctive) — including corpus-absent terms,
-    which therefore empty the result."""
+    which therefore empty the result.
+
+    exclude: NOT terms — docs containing any of them are dropped
+    (left_anti against their tf rows; survivors' scores untouched).
+    min_match: keep only docs matching ≥ this many distinct query terms.
+    prefix_stems: extra query terms = every corpus term starting with a
+    stem, each scored with its own idf (the engine's prefix rewrite)."""
     cfg = cfg or EngineConfig()
-    q = query_terms_df(spark, query, corpus, cfg)
+    q = query_terms_df(spark, query, corpus, cfg).select("term", "idf")
+    if prefix_stems:
+        from functools import reduce
+        from operator import or_
+
+        cond = reduce(or_, [F.col("term").startswith(s) for s in prefix_stems])
+        q = q.unionByName(
+            corpus.term_stats.filter(cond).select("term", "idf")
+        ).dropDuplicates(["term"])
     n_terms = len(set(tokenize_py(query, unicode=corpus.unicode)))
     scored = (
-        corpus.tf.join(F.broadcast(q.select("term", "idf")), "term", "inner")
+        corpus.tf.join(F.broadcast(q), "term", "inner")
         .withColumn(
             "contrib",
             score_col(F.col("tf"), F.col("dl"), F.col("idf"), F.lit(corpus.avgdl), cfg.bm25),
@@ -67,5 +84,13 @@ def bruteforce_topk(
     )
     if mode == "all":
         scored = scored.filter(F.col("_matched") == n_terms)
+    if min_match > 1:
+        scored = scored.filter(F.col("_matched") >= min_match)
+    if exclude:
+        ex_terms = sorted(set(tokenize_py(exclude, unicode=corpus.unicode)))
+        if ex_terms:
+            ex_docs = (corpus.tf.filter(F.col("term").isin(ex_terms))
+                       .select("doc_id").distinct())
+            scored = scored.join(ex_docs, "doc_id", "left_anti")
     return (scored.drop("_matched")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -46,9 +46,9 @@ _EMPTY = pd.DataFrame(
 
 def _shard_search(
     seg_pdf: pd.DataFrame,
-    queries: list[tuple[list[str], str, int]],
+    queries: list[tuple[list[str], str, int, list[str], int]],
     idf_map: dict,
-    k: int,
+    k: int | None,
     avgdl: float,
     k1: float,
     b: float,
@@ -84,8 +84,15 @@ def _shard_search(
     # each is an independent posting source — every doc lives in exactly
     # one source, so summing per-source contributions stays exact and the
     # per-source block maxima still add up to a true upper bound
+    excl_all = {t for q in queries for t in q[3]}
+    # exclusion terms need only their DOC IDS (no idf, no tf/dl decode):
+    # keep the raw compressed sources and decode ids lazily, once per term
+    excl_raw: dict[str, list[tuple[list, np.ndarray]]] = {}
     postings: dict[str, list[TermPosting]] = {}
     for row in seg_pdf.itertuples(index=False):
+        if row.term in excl_all:
+            excl_raw.setdefault(row.term, []).append(
+                (list(row.doc_blocks), np.asarray(row.block_last, np.int64)))
         idf = idf_map.get(row.term)
         if idf is None:  # not a query term (scan is pre-filtered in prod)
             continue
@@ -103,10 +110,35 @@ def _shard_search(
             pos_blocks=(list(pb) if (pb := getattr(row, "pos_blocks", None))
                         is not None and len(pb) else None),
         ))
+    excl_cache: dict[str, np.ndarray | None] = {}
+
+    def _excl_ids(term: str) -> np.ndarray | None:
+        """Sorted unique doc ids of one exclusion term in this shard —
+        decoded once per (shard, term) regardless of how many queries
+        exclude it. Decodes ONLY doc_blocks (ids): exclusion needs no
+        tf/dl, so a store_dl=False layout needs no norms lookup here."""
+        if term in excl_cache:
+            return excl_cache[term]
+        srcs = excl_raw.get(term)
+        out = None
+        if srcs:
+            from hora_spark.functions.codec import decode_block
+
+            parts = []
+            for blocks, last in srcs:
+                for j, blk in enumerate(blocks):
+                    parts.append(decode_block(
+                        bytes(blk), base=int(last[j - 1]) if j else 0,
+                        delta=True))
+            if parts:
+                out = np.unique(np.concatenate(parts))
+        excl_cache[term] = out
+        return out
+
     out_q, out_d, out_s = [], [], []
     # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
     # normal shape of real traffic — one Spark job serves it)
-    for qid, (terms, mode, near_window) in enumerate(queries):
+    for qid, (terms, mode, near_window, excl_terms, min_match) in enumerate(queries):
         positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct
@@ -139,11 +171,25 @@ def _shard_search(
         # conjunctive/phrase/near: require every DISTINCT query term —
         # for mode="all", terms absent from the corpus are counted too
         # (len(terms) includes them), making min_match unreachable and
-        # the query empty, which IS conjunctive semantics
+        # the query empty, which IS conjunctive semantics. mode="any"
+        # honors an explicit per-query min_match (minimum_should_match:
+        # at least that many distinct terms PRESENT in the doc — absent
+        # terms can never count, matching Lucene's matched-clause count)
         mm = (len(terms) if mode == "all"
-              else len(distinct) if positional else 0)
+              else len(distinct) if positional else min_match)
+        # per-query NOT terms ride the tombstone machinery: their shard-
+        # local doc ids union with the global deletes, applied pre-heap,
+        # so θ tracks the k-th QUALIFIED score and pruning stays exact
+        dels_q = deleted
+        if excl_terms:
+            arrs = [a for t in excl_terms
+                    if (a := _excl_ids(t)) is not None and len(a)]
+            if arrs:
+                ex = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+                dels_q = (ex if dels_q is None or not len(dels_q)
+                          else np.union1d(dels_q, ex))
         ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
-                                 deleted=deleted, allowed=allowed,
+                                 deleted=dels_q, allowed=allowed,
                                  min_match=mm, phrase=phrase,
                                  near_window=nw,
                                  near_unordered=(mode == "near_unordered"))
@@ -161,11 +207,80 @@ def _shard_search(
     )
 
 
+def _parse_prefix_terms(text: str, unicode: bool) -> tuple[list[str], list[str]]:
+    """Split a prefix-enabled query into (plain tokens, prefix stems):
+    whitespace words ending in '*' are prefix stems (the stem must reduce
+    to exactly ONE index token), everything else tokenizes normally."""
+    plains: list[str] = []
+    stems: list[str] = []
+    for w in (text or "").split():
+        if w.endswith("*"):
+            st = tokenize_py(w.rstrip("*"), unicode=unicode)
+            if len(st) != 1:
+                raise ValueError(
+                    f"prefix token {w!r} must reduce to exactly one index token"
+                )
+            stems.append(st[0])
+        else:
+            plains.extend(tokenize_py(w, unicode=unicode))
+    return plains, stems
+
+
+def _expand_stems(
+    store: SnapshotStore,
+    version: int | None,
+    stems: list[str],
+    cache: dict,
+    cfg: EngineConfig,
+) -> dict[str, list[str]]:
+    """Expand prefix stems against the index DICTIONARY (the stats table):
+    ONE scan with OR'd startswith predicates (parquet pushes
+    StringStartsWith, so only matching row groups are read) serves every
+    stem in the batch. Expansions are capped at cfg.max_prefix_expansion
+    per stem — a one-letter prefix over a web-scale vocabulary is a user
+    error, not a job to run. Expanded terms' idfs enter the same
+    per-snapshot cache the plain lookup uses (keyed '*stem' for the term
+    list; terms themselves never contain '*')."""
+    from functools import reduce
+    from operator import or_
+
+    cap = cfg.max_prefix_expansion
+    missing = [s for s in stems if ("*" + s) not in cache]
+    if missing:
+        cond = reduce(or_, [F.col("term").startswith(s) for s in missing])
+        total_cap = cap * len(missing)
+        rows = (
+            store.read("stats", version)
+            .filter(cond)
+            .select("term", "idf")
+            .limit(total_cap + 1)
+            .collect()
+        )
+        if len(rows) > total_cap:
+            raise ValueError(
+                f"prefix expansion exceeds {total_cap} terms for stems "
+                f"{missing}; narrow the prefix or raise "
+                "EngineConfig.max_prefix_expansion"
+            )
+        for s in missing:
+            got = [(r["term"], float(r["idf"])) for r in rows
+                   if r["term"].startswith(s)]
+            if len(got) > cap:
+                raise ValueError(
+                    f"prefix '{s}*' expands to {len(got)} terms "
+                    f"(> max_prefix_expansion={cap}); narrow the prefix"
+                )
+            cache["*" + s] = [t for t, _ in got]
+            for t, i in got:
+                cache[t] = i
+    return {s: cache["*" + s] for s in stems}
+
+
 def search_topk(
     spark: SparkSession,
     store: SnapshotStore,
     queries: list[str],
-    k: int = 10,
+    k: int | None = 10,
     cfg: EngineConfig | None = None,
     prune: bool = True,
     version: int | None = None,
@@ -173,6 +288,9 @@ def search_topk(
     filter_df: DataFrame | None = None,
     mode: str = "any",
     near_window: int = 5,
+    exclude: str | None = None,
+    min_match: int = 0,
+    expand_prefixes: bool = False,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
@@ -213,7 +331,30 @@ def search_topk(
     with its own shard (doc-range sharding makes doc_id DIV shard_size
     the shard key), so driver state never grows with the filter. Costs
     one size-probe job (a limit-bounded collect of ≤ ceiling+1 ids, which
-    doubles as the broadcast array when the filter is small)."""
+    doubles as the broadcast array when the filter is small).
+
+    exclude: NOT terms (must_not) — docs containing ANY token of this
+    string are excluded from the result; survivors' scores unchanged
+    (frozen-stats, like deletes — the exclusion postings decode doc ids
+    only, inside the same pushed-down scan). Per-query via dict specs.
+
+    min_match: minimum_should_match for mode='any' — keep only docs
+    matching at least this many DISTINCT query terms (absent-from-corpus
+    terms can never count, matching Lucene's matched-clause semantics).
+
+    expand_prefixes: parse trailing-'*' words as prefix queries
+    ("tok*" matches every index term starting with 'tok'); expansion
+    happens against the stats-table dictionary (pushed-down startswith,
+    capped at cfg.max_prefix_expansion per stem) and each expanded term
+    scores with its OWN idf (Lucene's scoring-boolean rewrite).
+
+    k=None: return ALL matching docs (match enumeration — see
+    search_matches) instead of a top-k; the result is unordered.
+
+    Per-query dict specs may set any of {text, mode, near_window,
+    exclude, min_match, prefix}; unset keys inherit the call-level
+    arguments, so a mixed batch (phrase + NOT + prefix + plain) is still
+    ONE Spark job."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -224,23 +365,47 @@ def search_topk(
     avgdl = float(meta["avgdl"])
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
-    # normalize to per-query (text, mode, near_window) specs; plain
-    # strings inherit the call-level defaults
+    # normalize to per-query (text, mode, near_window, exclude,
+    # min_match, prefix) specs; plain strings and missing slots inherit
+    # the call-level defaults. A dict spec may set any of the keys
+    # {text, mode, near_window, exclude, min_match, prefix}.
     _VALID = ("any", "all") + POSITIONAL_MODES
-    specs: list[tuple[str, str, int]] = []
+    specs: list[tuple[str, str, int, str | None, int, bool]] = []
     for q in queries:
         if isinstance(q, str):
-            specs.append((q, mode, near_window))
+            specs.append((q, mode, near_window, exclude, min_match,
+                          expand_prefixes))
+        elif isinstance(q, dict):
+            q_mode = q.get("mode") or mode
+            specs.append((
+                q["text"], q_mode,
+                int(q.get("near_window", near_window)),
+                q.get("exclude", exclude),
+                int(q.get("min_match", min_match)),
+                bool(q.get("prefix", expand_prefixes)),
+            ))
         else:
             parts = tuple(q)
             q_mode = parts[1] if len(parts) > 1 and parts[1] else mode
             q_nw = (int(parts[2]) if len(parts) > 2 and parts[2] is not None
                     else near_window)
-            specs.append((parts[0], q_mode, q_nw))
-    bad = sorted({m for _, m, _ in specs if m not in _VALID})
+            specs.append((parts[0], q_mode, q_nw, exclude, min_match,
+                          expand_prefixes))
+    bad = sorted({s[1] for s in specs if s[1] not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    any_positional = any(m in POSITIONAL_MODES for _, m, _ in specs)
+    for _, m, _, _, mm, pf in specs:
+        if mm and m != "any":
+            raise ValueError(
+                "min_match applies to mode='any' only (mode='all' IS "
+                "min_match=len(terms); positional modes imply it)")
+        if pf and m != "any":
+            raise ValueError("prefix expansion applies to mode='any' only")
+        if pf and mm:
+            raise ValueError(
+                "min_match over prefix expansions is ambiguous (one stem "
+                "can satisfy many clauses) — use one or the other")
+    any_positional = any(s[1] in POSITIONAL_MODES for s in specs)
     if any_positional and not bool(meta.get("store_positions", False)):
         raise ValueError(
             "phrase/near search requires an index built with "
@@ -252,18 +417,34 @@ def search_topk(
     # positional queries keep RAW ordered token lists (order and, for
     # phrase, duplicates define the match); others sorted distinct
     uni = bool(meta.get("unicode", False))
-    q_specs = [
-        (tokenize_py(q, unicode=uni) if m in POSITIONAL_MODES
-         else sorted(set(tokenize_py(q, unicode=uni))), m, nw)
-        for q, m, nw in specs
-    ]
-    all_terms = sorted({t for ts, _, _ in q_specs for t in ts})
+    cache = idf_cache if idf_cache is not None else {}
+    q_specs: list[list] = []
+    for text, m, nw, ex, mm, pf in specs:
+        ex_terms = sorted(set(tokenize_py(ex, unicode=uni))) if ex else []
+        if m in POSITIONAL_MODES:
+            toks = tokenize_py(text, unicode=uni)
+        elif pf:
+            toks = ("*", *_parse_prefix_terms(text, uni))  # resolved below
+        else:
+            toks = sorted(set(tokenize_py(text, unicode=uni)))
+        q_specs.append([toks, m, nw, ex_terms, mm])
+    need_stems = sorted({s for qs in q_specs if isinstance(qs[0], tuple)
+                         for s in qs[0][2]})
+    if need_stems:
+        exp = _expand_stems(store, version, need_stems, cache, cfg)
+        for qs in q_specs:
+            if isinstance(qs[0], tuple):
+                _, plains, stems = qs[0]
+                qs[0] = sorted(set(plains)
+                               | {t for s in stems for t in exp[s]})
+    q_specs = [tuple(qs) for qs in q_specs]
+    all_terms = sorted({t for ts, *_ in q_specs for t in ts})
     if not all_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     # idf lookup: pushdown filter on the stats table (term-sorted parquet);
-    # result is query-sized (≤ |distinct query terms| rows) → tiny collect
-    cache = idf_cache if idf_cache is not None else {}
+    # result is query-sized (≤ |distinct query terms| rows) → tiny collect.
+    # Prefix expansions pre-seeded the cache, so they cost no extra job.
     missing = [t for t in all_terms if t not in cache]
     if missing:
         stats = store.read("stats", version).filter(F.col("term").isin(missing))
@@ -278,11 +459,15 @@ def search_topk(
     b_queries = spark.sparkContext.broadcast(q_specs)
     b_idf = spark.sparkContext.broadcast(idf_map)
 
-    # store_dl=True (default): the scan reads strictly query-term rows.
+    # store_dl=True (default): the scan reads strictly query-term rows
+    # (positive terms plus any per-query NOT terms — exclusion postings
+    # ride the same pushed-down IN filter; only their doc ids decode).
     # store_dl=False layout: postings carry no dl, so the reserved norms
     # row rides in the same pushed-down scan (one extra row per shard).
-    scan_terms = (live_terms if bool(meta.get("store_dl", True))
-                  else live_terms + [NORMS_TERM])
+    excl_scan = sorted({t for qs in q_specs for t in qs[3]} - set(live_terms))
+    scan_terms = live_terms + excl_scan
+    if not bool(meta.get("store_dl", True)):
+        scan_terms = scan_terms + [NORMS_TERM]
     seg_cols = ["shard_id", "term", "doc_blocks", "tf_blocks", "dl_blocks",
                 "block_last", "block_tf_max", "block_dl_min"]
     if any_positional:  # positions read ONLY when some query needs them
@@ -372,12 +557,62 @@ def search_topk(
                                  allowed=b_allow.value)
 
         local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
+    if k is None:
+        # match ENUMERATION: every qualifying doc with its exact score,
+        # no global rank, no sort — shards are disjoint doc ranges, so
+        # the union needs no dedup and downstream aggregation (facets,
+        # counting, exports) keeps its partial/final shape
+        return local
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_matches(
+    spark: SparkSession,
+    store: SnapshotStore,
+    queries: list,
+    **kw,
+) -> DataFrame:
+    """ALL matching docs per query → DataFrame(query_id, doc_id, score),
+    UNORDERED (no global top-k, no sort — callers aggregate or order).
+    Accepts every search_topk option (modes, exclude, min_match, prefixes,
+    filter_df, deletes honored). The enumeration is inherently exhaustive,
+    so block-max pruning is bypassed; per-shard output is the shard's
+    match set, and no driver-side state grows with the result."""
+    kw.pop("k", None)
+    kw.pop("prune", None)
+    return search_topk(spark, store, queries, k=None, **kw)
+
+
+def facet_counts(
+    spark: SparkSession,
+    store: SnapshotStore,
+    queries: list,
+    docs_df: DataFrame,
+    facet_col: str,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Facet counts over ALL matching docs (the search-engine facet
+    panel): → DataFrame(query_id, facet, n_docs). The match set joins to
+    the docs table on doc_id (sort-merge at scale; the facet value is
+    per-doc, so no pre-aggregation is possible before the join), then a
+    map-side-combined groupBy counts per (query, facet value)."""
+    matches = search_matches(spark, store, queries, **kw)
+    facets = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(facet_col).alias("facet"),
+    )
+    return (
+        matches.select("query_id", "doc_id")
+        .join(facets, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 

@@ -1,0 +1,308 @@
+"""Advanced retrieval options: NOT terms (must_not), minimum_should_match,
+dictionary prefix expansion, match enumeration, and facet counts.
+
+Every option is checked against the INDEPENDENT brute-force DataFrame
+oracle (different plan shape: broadcast join + groupBy, no segments, no
+UDF) and, where cheap, a pure-Python recount over the tokenized corpus.
+Exactness requirements mirror the engine's standing contract: pruned ≡
+exhaustive, options compose with deletes / append deltas / modes, and
+both store_dl layouts return byte-identical results."""
+
+import collections
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hora_spark.config import EngineConfig, IndexConfig
+from hora_spark.datagen import generate_transcripts
+from hora_spark.engine import Engine
+from hora_spark.functions.tokenize import tokenize_py
+from hora_spark.operators.corpus import prepare
+from hora_spark.operators.oracle import bruteforce_topk
+
+CFG = EngineConfig(index=IndexConfig(block_size=16, n_buckets=8))
+K = 15
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    df = generate_transcripts(spark, 120, seed=5).cache()
+    df.count()
+    path = str(tmp_path_factory.mktemp("advidx"))
+    eng = Engine(spark, path, CFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    corpus = prepare(df, id_col=None, order_cols=["conv_id", "turn_idx"],
+                     use_pandas_udf=False)
+    yield eng, corpus
+    df.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def rows(d):
+    return [(r["doc_id"], round(r["score"], 9)) for r in d.collect()]
+
+
+def _tok_docs(corpus):
+    """{doc_id: set(tokens)} from the corpus tf table (python recount)."""
+    out = collections.defaultdict(set)
+    for r in corpus.tf.select("doc_id", "term").collect():
+        out[r["doc_id"]].add(r["term"])
+    return out
+
+
+# ------------------------------------------------------------------ NOT --
+
+@pytest.mark.parametrize("q,ex", [
+    ("water people", "the"),
+    ("the of and", "water people"),
+    ("water people time", "zzzqqq"),     # absent NOT term = no-op
+])
+def test_not_matches_oracle_pruned_and_exhaustive(spark, setup, q, ex):
+    eng, corpus = setup
+    want = rows(bruteforce_topk(spark, corpus, q, k=K, exclude=ex))
+    for prune in (True, False):
+        got = rows(eng.search(q, k=K, prune=prune, exclude=ex))
+        assert got == want, (q, ex, prune)
+    # survivors keep their unfiltered scores; excluded docs truly gone
+    toks = _tok_docs(corpus)
+    ex_terms = set(tokenize_py(ex))
+    unfiltered = dict(rows(eng.search(q, k=1 << 30)))
+    for d, s in want:
+        assert not (toks[d] & ex_terms)
+        assert unfiltered[d] == s
+
+
+def test_not_composes_with_conjunctive_and_deletes(spark, setup, tmp_path):
+    eng, corpus = setup
+    got = rows(eng.search("water people", k=K, mode="all", exclude="time"))
+    want = rows(bruteforce_topk(spark, corpus, "water people", k=K,
+                                mode="all", exclude="time"))
+    assert got == want
+    # deletes + NOT union: clone the index dir, tombstone two survivors
+    clone = str(tmp_path / "clone")
+    shutil.copytree(eng.store.root, clone)
+    eng2 = Engine(spark, clone, CFG)
+    victims = [d for d, _ in got[:2]]
+    eng2.delete(victims)
+    got2 = rows(eng2.search("water people", k=K, mode="all", exclude="time"))
+    assert got2 == [r for r in rows(
+        bruteforce_topk(spark, corpus, "water people", k=1 << 30,
+                        mode="all", exclude="time"))
+        if r[0] not in set(victims)][:K]
+
+
+def test_not_everything_empties(spark, setup):
+    eng, _ = setup
+    # excluding the query's own hot term drops every doc that had it
+    got = rows(eng.search("the", k=K, exclude="the"))
+    assert got == []
+
+
+# ------------------------------------------------------- min_match (MSM) --
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4])
+def test_min_match_matches_oracle(spark, setup, n):
+    eng, corpus = setup
+    q = "water people time its"
+    want = rows(bruteforce_topk(spark, corpus, q, k=K, min_match=n))
+    for prune in (True, False):
+        got = rows(eng.search(q, k=K, prune=prune, min_match=n))
+        assert got == want, (n, prune)
+    # python recount: every result has >= n distinct query terms
+    toks = _tok_docs(corpus)
+    q_terms = set(tokenize_py(q))
+    for d, _ in want:
+        assert len(toks[d] & q_terms) >= n
+
+
+def test_min_match_bounds(spark, setup):
+    eng, corpus = setup
+    q = "water people time"
+    # n = |terms| == conjunctive; n=1 and n=0 == plain any
+    assert rows(eng.search(q, k=K, min_match=3)) == \
+        rows(eng.search(q, k=K, mode="all"))
+    assert rows(eng.search(q, k=K, min_match=1)) == rows(eng.search(q, k=K))
+    # n above the live distinct count empties (absent terms never count)
+    assert rows(eng.search(q + " zzzqqq", k=K, min_match=4)) == []
+
+
+def test_min_match_mode_validation(setup):
+    eng, _ = setup
+    with pytest.raises(ValueError, match="min_match"):
+        eng.search("a b", min_match=2, mode="all").collect()
+
+
+# ----------------------------------------------------------------- prefix --
+
+def test_prefix_matches_oracle(spark, setup):
+    eng, corpus = setup
+    want = rows(bruteforce_topk(spark, corpus, "people", k=K,
+                                prefix_stems=["wat"]))
+    for prune in (True, False):
+        got = rows(eng.search("wat* people", k=K, prune=prune,
+                              expand_prefixes=True))
+        assert got == want, prune
+    # a prefix covering ONE term == typing that term
+    one = [t for t in ("water",) if t]  # water exists in the vocab
+    assert rows(eng.search("water* people", k=K, expand_prefixes=True)) == \
+        rows(bruteforce_topk(spark, corpus, "people", k=K, prefix_stems=one))
+
+
+def test_prefix_no_match_and_validation(spark, setup):
+    eng, _ = setup
+    # unmatched stem contributes nothing; alone it returns empty
+    assert rows(eng.search("zzzqqq*", k=K, expand_prefixes=True)) == []
+    got = rows(eng.search("zzzqqq* people", k=K, expand_prefixes=True))
+    assert got == rows(eng.search("people", k=K))
+    with pytest.raises(ValueError, match="exactly one index token"):
+        eng.search("a.b* x", expand_prefixes=True).collect()
+    with pytest.raises(ValueError, match="mode='any' only"):
+        eng.search("wat* people", mode="all", expand_prefixes=True).collect()
+    with pytest.raises(ValueError, match="ambiguous"):
+        eng.search("wat* people", min_match=2, expand_prefixes=True).collect()
+
+
+def test_prefix_expansion_cap(spark, setup):
+    eng, _ = setup
+    import dataclasses
+    small = dataclasses.replace(eng.cfg, max_prefix_expansion=2)
+    eng_small = Engine(spark, eng.store.root, small)
+    with pytest.raises(ValueError, match="max_prefix_expansion"):
+        # single-letter stem expands to far more than 2 vocabulary terms
+        eng_small.search("t*", expand_prefixes=True).collect()
+
+
+def test_prefix_expansion_caches_idf(spark, setup):
+    eng, _ = setup
+    eng._idf_caches.clear()
+    eng.search("wat* people", k=5, expand_prefixes=True).collect()
+    cache = eng._idf_caches[eng.store.current_version()]
+    assert "*wat" in cache and all(t.startswith("wat") for t in cache["*wat"])
+    # expanded terms' idfs are seeded → a follow-up direct search of one
+    # of them needs no lookup (all its terms already cached)
+    term = cache["*wat"][0]
+    assert isinstance(cache[term], float)
+
+
+# ------------------------------------------------- matches + facet counts --
+
+def test_matches_enumerates_exactly(spark, setup):
+    eng, corpus = setup
+    toks = _tok_docs(corpus)
+    m = eng.matches([{"text": "water people", "mode": "any"},
+                     {"text": "water people", "mode": "all"},
+                     {"text": "water people", "min_match": 2}]).collect()
+    got = collections.defaultdict(set)
+    for r in m:
+        got[r["query_id"]].add(r["doc_id"])
+    q_terms = {"water", "people"}
+    assert got[0] == {d for d, t in toks.items() if t & q_terms}
+    assert got[1] == {d for d, t in toks.items() if q_terms <= t}
+    assert got[2] == got[1]  # min_match=2 of 2 == all
+    # scores equal the top-k path's scores (same frozen stats)
+    s_all = {(r["query_id"], r["doc_id"]): round(r["score"], 9) for r in m}
+    for d, s in rows(eng.search("water people", k=1 << 30)):
+        assert s_all[(0, d)] == s
+
+
+def test_facets_match_python_recount(spark, setup):
+    eng, corpus = setup
+    toks = _tok_docs(corpus)
+    docs = corpus.docs.withColumn("bucket",
+                                  (F.col("doc_id") % 5).cast("string"))
+    f = eng.facets(["water people", "the"], docs, "bucket").collect()
+    got = {(r["query_id"], r["facet"]): r["n_docs"] for r in f}
+    for qid, q_terms in enumerate([{"water", "people"}, {"the"}]):
+        matched = [d for d, t in toks.items() if t & q_terms]
+        want = collections.Counter(str(d % 5) for d in matched)
+        assert {k[1]: v for k, v in got.items() if k[0] == qid} == dict(want)
+
+
+def test_facets_honor_exclude_and_filter(spark, setup):
+    eng, corpus = setup
+    toks = _tok_docs(corpus)
+    docs = corpus.docs.withColumn("bucket",
+                                  (F.col("doc_id") % 3).cast("string"))
+    keep = corpus.docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    f = eng.facets(["water"], docs, "bucket", exclude="time",
+                   filter_df=keep).collect()
+    matched = [d for d, t in toks.items()
+               if "water" in t and "time" not in t and d % 2 == 0]
+    want = collections.Counter(str(d % 3) for d in matched)
+    assert {r["facet"]: r["n_docs"] for r in f} == dict(want)
+
+
+# --------------------------------------------- layout / delta composition --
+
+def test_not_across_append_delta_sources(spark, setup, tmp_path):
+    """Exclusion must see docs whose NOT-term postings live in APPENDED
+    delta segments, not just the base build."""
+    eng, corpus = setup
+    from hora_spark.streaming.incremental import append_build
+
+    clone = str(tmp_path / "apclone")
+    shutil.copytree(eng.store.root, clone)
+    eng2 = Engine(spark, clone, CFG)
+    spark_ = spark
+    new = spark_.createDataFrame(
+        [("zzconv", 0, "user", "water people brandnewtok", "t", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    append_build(spark_, eng2.store, new, cfg=CFG)
+    # the appended doc matches 'water people'…
+    base = rows(eng2.search("water people", k=1 << 30))
+    new_id = max(d for d, _ in base)
+    assert any(d == new_id for d, _ in base)
+    # …and is excluded when its delta-segment-only term is a NOT term
+    got = rows(eng2.search("water people", k=1 << 30,
+                           exclude="brandnewtok"))
+    assert [d for d, _ in got] == [d for d, _ in base if d != new_id]
+
+
+def test_advanced_options_store_dl_false(spark, tmp_path):
+    """NOT + min_match + prefix on the store_dl=False layout (norms
+    sidecar rides the scan; exclusion decode needs no norms)."""
+    import dataclasses
+    cfg = EngineConfig(index=IndexConfig(block_size=16, n_buckets=8,
+                                         store_dl=False))
+    df = generate_transcripts(spark, 60, seed=9).cache()
+    df.count()
+    path = str(tmp_path / "nodl")
+    eng = Engine(spark, path, cfg)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+    corpus = prepare(df, id_col=None, order_cols=["conv_id", "turn_idx"],
+                     use_pandas_udf=False)
+    assert rows(eng.search("water people", k=K, exclude="the")) == \
+        rows(bruteforce_topk(spark, corpus, "water people", k=K, exclude="the"))
+    assert rows(eng.search("water people time", k=K, min_match=2)) == \
+        rows(bruteforce_topk(spark, corpus, "water people time", k=K,
+                             min_match=2))
+    assert rows(eng.search("wat* people", k=K, expand_prefixes=True)) == \
+        rows(bruteforce_topk(spark, corpus, "people", k=K,
+                             prefix_stems=["wat"]))
+    df.unpersist()
+
+
+def test_mixed_batch_with_advanced_specs(spark, setup):
+    """One batched job mixing plain / NOT / min_match / prefix dict specs
+    equals the per-query single calls."""
+    eng, _ = setup
+    specs = [
+        "water people",
+        {"text": "water people", "exclude": "the"},
+        {"text": "water people time its", "min_match": 2},
+        {"text": "wat* people", "prefix": True},
+    ]
+    batched = eng.searches(specs, k=K).collect()
+    by_q = collections.defaultdict(list)
+    for r in batched:
+        by_q[r["query_id"]].append((r["doc_id"], round(r["score"], 9)))
+    singles = [
+        rows(eng.search("water people", k=K)),
+        rows(eng.search("water people", k=K, exclude="the")),
+        rows(eng.search("water people time its", k=K, min_match=2)),
+        rows(eng.search("wat* people", k=K, expand_prefixes=True)),
+    ]
+    for qid, want in enumerate(singles):
+        assert by_q[qid] == want, qid

@@ -91,6 +91,18 @@ def test_cli_roundtrip(spark, tmp_path):
                      "--mode", "near", "--near-window", "3"]) == 0
     assert cli.main(["search", "--index", idx4, "-q", "the of", "-k", "5",
                      "--mode", "all"]) == 0
+    # NOT / minimum_should_match / prefix / facets through the CLI
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5",
+                     "--not", "water"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "the of water",
+                     "-k", "5", "--min-match", "2"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "wat* the", "-k", "5",
+                     "--prefix"]) == 0
+    docs_pq = str(tmp_path / "docs_facets")
+    spark.read.parquet(out).selectExpr(
+        "cast(turn_idx as long) as doc_id", "role").write.parquet(docs_pq)
+    assert cli.main(["search", "--index", idx, "-q", "the of",
+                     "--facet-by", f"{docs_pq}:role"]) == 0
     # reverse search through the CLI (route the corpus against a query)
     assert cli.main(["route", "--index", idx4, "--input", out,
                      "-q", "the of", "--min-score", "1.0",
