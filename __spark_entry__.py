@@ -336,21 +336,27 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
     )
 
 
-# one batch, four modes, ONE Spark job (round-5: per-query mode rides
-# through the shard UDF; tools/mixed_mode_ab.py measures ~3.3× over
-# mode-segregated jobs at batch-10)
+# one batch, seven predicate shapes, ONE Spark job (round-5: per-query
+# mode rides through the shard UDF; tools/mixed_mode_ab.py measures
+# ~3.3× over mode-segregated jobs at batch-10). The last three are dict
+# specs exercising the advanced predicates: NOT terms (must_not),
+# minimum_should_match, and dictionary prefix expansion.
 MIXED_BATCH = [
     (" ".join(MID_QUERY), "any", None),
     (" ".join(HOT_QUERY), "all", None),
     (PHRASE_QUERY, "phrase", None),
     (NEAR_QUERY, "near", NEAR_WINDOW),
+    {"text": " ".join(HOT_QUERY), "exclude": " ".join(RARE_QUERY)},
+    {"text": " ".join(MID_QUERY), "min_match": 2},
+    {"text": "join s*", "prefix": True},
 ]
 
 
 def _q_search_mixed_batch(spark, sf_dir):
     """Mixed-mode batched search: bag-of-words + conjunctive + phrase +
-    proximity in one job over the positional index. Oracle: the union of
-    the four single-mode SQL twins, labeled by query_id."""
+    proximity + NOT terms + minimum_should_match + prefix expansion in one
+    job over the positional index. Oracle: the union of the seven
+    single-predicate SQL twins, labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -364,11 +370,71 @@ def _mixed_batch_sql(k: int = K) -> str:
         _bm25_sql(HOT_QUERY, k, conjunctive=True),
         _bm25_phrase_sql(PHRASE_QUERY, k),
         _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW, k),
+        _bm25_sql(HOT_QUERY, k, exclude_terms=RARE_QUERY),
+        _bm25_sql(MID_QUERY, k, min_match=2),
+        _bm25_sql(["join"], k, prefix_stems=["s"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
         for qi, sql in enumerate(twins)
     )
+
+
+# match ENUMERATION (k=None): every qualifying doc with its exact score,
+# no global sort/top-k — the corpus-filter/export verb. Three predicate
+# shapes, still one job.
+MATCH_ENUM_BATCH = [
+    " ".join(RARE_QUERY),
+    {"text": " ".join(MIX_QUERY), "min_match": 2},
+    {"text": " ".join(HOT_QUERY), "exclude": " ".join(RARE_QUERY)},
+]
+
+
+def _q_search_matches(spark, sf_dir):
+    """k=None match enumeration through the indexed path (search_matches /
+    Engine.matches): ALL qualifying docs per query, exact BM25 scores,
+    UNORDERED (the driver compare is order-insensitive). Covers the
+    `matched docs as a set` surface facets and exports are built on."""
+    eng = _engine(spark, sf_dir)
+    res = eng.matches(MATCH_ENUM_BATCH)
+    return res.select("query_id", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _match_enum_sql() -> str:
+    twins = [
+        _bm25_sql(RARE_QUERY, enumerate_all=True),
+        _bm25_sql(MIX_QUERY, min_match=2, enumerate_all=True),
+        _bm25_sql(HOT_QUERY, exclude_terms=RARE_QUERY, enumerate_all=True),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
+        for qi, sql in enumerate(twins)
+    )
+
+
+FACET_QUERIES = [" ".join(RARE_QUERY), " ".join(MIX_QUERY)]
+
+
+def _q_facet_lang(spark, sf_dir):
+    """Facet panel (Engine.facets): counts of ALL matching docs per
+    (query, lang) — match enumeration joined to a docs-table column,
+    then a map-side-combined count per (query_id, facet value)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.facets(FACET_QUERIES, _docs(spark, sf_dir), "lang")
+    return res.select("query_id", "facet", "n_docs")
+
+
+def _facet_sql() -> str:
+    parts = []
+    for qi, q in enumerate(FACET_QUERIES):
+        vals = ", ".join(f"'{t}'" for t in sorted(set(q.split())))
+        parts.append(
+            f"""SELECT {qi} AS query_id, d.lang AS facet, count(*) AS n_docs
+FROM (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({vals})) m
+JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+        )
+    return BM25_CTES + "\nUNION ALL\n".join(parts)
 
 
 def _bm25_multi_sql(queries: list[list[str]], k: int = K) -> str:
@@ -674,16 +740,56 @@ def _q_knn_bruteforce(spark, sf_dir):
     )
 
 
-def _mk_knn(metric: str):
-    def run(spark, sf_dir):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        queries = emb.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), "embedding"
+KNN_METRICS = ("cosine", "dot", "euclidean", "manhattan", "angular")
+
+
+def _q_knn_multi_metric(spark, sf_dir):
+    """ALL FIVE reference metrics (metrics.rs:56-103, sign-inverted to the
+    larger-is-closer `sim` convention) through one labeled entry: exact
+    brute-force top-10 per (metric, query). Each metric's plan is the
+    unchanged single-metric mapInPandas + window top-k; the union is label
+    bookkeeping (consolidated in r5 for the 50-row driver window — and it
+    upgrades dot/euclidean from pytest-only to driver-hash-checked)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = None
+    for metric in KNN_METRICS:
+        res = similarity.bruteforce_knn(emb, queries, k=10, metric=metric).select(
+            F.lit(metric).alias("metric"), "query_id", "vec_id", "sim"
         )
-        return similarity.bruteforce_knn(emb, queries, k=10, metric=metric).select(
-            "query_id", "vec_id", "sim"
-        )
-    return run
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+def _knn_multi_sql() -> str:
+    """Twin of _q_knn_multi_metric: the five metric expressions re-derived
+    in SQL over the same shared (e, q) CTEs, per-(metric, query) top-10
+    under the pinned (sim DESC, vec_id ASC) tie-break. `ROUND + 0`
+    canonicalizes IEEE −0.0 (self-distance under manhattan/angular)."""
+    scorers = {
+        "cosine": "list_cosine_similarity(e.v, qv)",
+        "dot": "list_dot_product(e.v, qv)",
+        "euclidean": ("-list_sum(list_transform(range(len(e.v)), "
+                      "i -> (e.v[i+1] - qv[i+1]) * (e.v[i+1] - qv[i+1])))"),
+        "manhattan": ("-list_sum(list_transform(range(len(e.v)), "
+                      "i -> abs(e.v[i+1] - qv[i+1])))"),
+        "angular": "2.0 * list_cosine_similarity(e.v, qv) - 2.0",
+    }
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS metric, query_id, e.vec_id, {expr} AS s "
+        f"FROM e CROSS JOIN q"
+        for m, expr in scorers.items()
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS ({branches})
+SELECT metric, query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY metric, query_id
+                           ORDER BY s DESC, vec_id ASC) <= 10"""
 
 
 def _with_recall(approx, exact, k: int):
@@ -888,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_near": _q_bm25_near,
         "bm25_topk_near_unordered": _q_bm25_near_unordered,
         "search_mixed_batch": _q_search_mixed_batch,
+        "search_matches": _q_search_matches,
+        "facet_lang_counts": _q_facet_lang,
         "search_with_text": _q_search_with_text,
         "search_snippets": _q_search_snippets,
         "route_matches": _q_route_matches,
@@ -906,10 +1014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_textstats,
         "fingerprints": _q_fingerprints,
         "lang_breakdown": _q_lang_breakdown,
-        # similarity family
-        "knn_bruteforce": _q_knn_bruteforce,
-        "knn_manhattan": _mk_knn("manhattan"),
-        "knn_angular": _mk_knn("angular"),
+        # similarity family (the three single-metric brute entries are
+        # consolidated into one five-metric labeled entry in r5;
+        # _q_knn_bruteforce stays for bench.py's comparable timing key)
+        "knn_multi_metric": _q_knn_multi_metric,
         "knn_lsh": _q_knn_lsh,      # approximate, but seeded → hash-checked
         "knn_ivf": _q_knn_ivf,      # approximate, but seeded → hash-checked
         "embedding_near_dups": _q_embedding_near_dups,
@@ -948,26 +1056,60 @@ dfs AS (SELECT term, count(*) AS df FROM tfx GROUP BY term)
 
 
 def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
-              keep_where: str | None = None, conjunctive: bool = False) -> str:
+              keep_where: str | None = None, conjunctive: bool = False,
+              exclude_terms: list[str] | None = None, min_match: int = 0,
+              prefix_stems: list[str] | None = None,
+              enumerate_all: bool = False) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
     stats stay over all docs), matching frozen-stats delete semantics.
     keep_where: SQL predicate over the documents table selecting the
     ALLOWED doc ids (filtered search) — same pre-top-k, stats-global
     convention, inverted.
     conjunctive: only docs matching EVERY distinct query term (HAVING
-    count(*) = n over the unique-(doc, term) tfx rows)."""
+    count(*) = n over the unique-(doc, term) tfx rows).
+    exclude_terms: NOT terms (must_not) — drop docs containing ANY of
+    these tokens; survivors' scores unchanged (frozen-stats, like deletes).
+    min_match: minimum_should_match — keep docs matching at least this
+    many DISTINCT query terms (absent-from-corpus terms can never join, so
+    they never count, matching the engine's Lucene-style semantics).
+    prefix_stems: dictionary prefix expansion — the query term set is the
+    UNION of the plain `terms` and every corpus term starting with a stem
+    (the engine expands against the same stats-table dictionary, each
+    expansion scoring with its own idf).
+    enumerate_all: match ENUMERATION (k=None) — every qualifying doc, no
+    ORDER BY / LIMIT (the driver compare is order-insensitive)."""
     vals = ", ".join(f"('{t}')" for t in terms)
+    if prefix_stems:
+        likes = " OR ".join(f"term LIKE '{s}%'" for s in prefix_stems)
+        branches = [f"SELECT term FROM dfs WHERE {likes}"]
+        if terms:
+            branches.append(f"SELECT term FROM (VALUES {vals}) v(term)")
+        q_cte = "q(term) AS (" + " UNION ".join(branches) + ")"
+    else:
+        q_cte = f"q(term) AS (VALUES {vals})"
     if exclude:
         filt = f"WHERE tfx.doc_id NOT IN ({', '.join(str(int(i)) for i in exclude)})"
     elif keep_where:
         filt = (f"WHERE tfx.doc_id IN "
                 f"(SELECT doc_id FROM documents WHERE {keep_where})")
+    elif exclude_terms:
+        ets = ", ".join(f"'{t}'" for t in sorted(set(exclude_terms)))
+        filt = (f"WHERE tfx.doc_id NOT IN "
+                f"(SELECT DISTINCT doc_id FROM tfx WHERE term IN ({ets}))")
     else:
         filt = ""
+    if conjunctive:
+        having = f"HAVING count(*) = {len(set(terms))}"
+    elif min_match:
+        having = f"HAVING count(*) >= {int(min_match)}"
+    else:
+        having = ""
+    tail = ("" if enumerate_all
+            else f"\nORDER BY s DESC, doc_id ASC LIMIT {k}")
     return (
         BM25_CTES
         + f""",
-q(term) AS (VALUES {vals}),
+{q_cte},
 scored AS (
   SELECT tfx.doc_id,
          sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
@@ -979,10 +1121,9 @@ scored AS (
   CROSS JOIN stats
   {filt}
   GROUP BY tfx.doc_id
-  {"HAVING count(*) = " + str(len(set(terms))) if conjunctive else ""}
+  {having}
 )
-SELECT doc_id, ROUND(s, 6) AS score FROM scored
-ORDER BY s DESC, doc_id ASC LIMIT {k}
+SELECT doc_id, ROUND(s, 6) AS score FROM scored{tail}
 """
     )
 
@@ -1327,6 +1468,8 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_topk_near_unordered": _bm25_near_unordered_sql(
             NEAR_UNORD_QUERY, NEAR_UNORD_WINDOW),
         "search_mixed_batch": _mixed_batch_sql(),
+        "search_matches": _match_enum_sql(),
+        "facet_lang_counts": _facet_sql(),
         "search_with_text": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text "
@@ -1435,35 +1578,9 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
                    CAST(sum(CASE WHEN swr >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_englishish
             FROM t GROUP BY lang""",
         # ---- similarity ----
-        "knn_bruteforce": """
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-            scored AS (SELECT query_id, e.vec_id, list_cosine_similarity(e.v, qv) AS s
-                       FROM e CROSS JOIN q)
-            SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
-        # manhattan / angular mirror metrics.rs:59-64,88-103, sign-inverted
-        # to the larger-is-closer `sim` convention used engine-wide
-        "knn_manhattan": """
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-            scored AS (SELECT query_id, e.vec_id,
-                              -list_sum(list_transform(range(len(e.v)),
-                                        i -> abs(e.v[i+1] - qv[i+1]))) AS s
-                       FROM e CROSS JOIN q)
-            SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
-        "knn_angular": """
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-            scored AS (SELECT query_id, e.vec_id,
-                              2.0 * list_cosine_similarity(e.v, qv) - 2.0 AS s
-                       FROM e CROSS JOIN q)
-            SELECT query_id, vec_id, ROUND(s, 6) + 0 AS sim FROM scored
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10""",
+        # all five metrics mirror metrics.rs:56-103, sign-inverted to the
+        # larger-is-closer `sim` convention used engine-wide
+        "knn_multi_metric": _knn_multi_sql(),
         # approximate ANN — hash-checked since round 3: the seeded LSH
         # planes / IVF centroids are embedded as literals and the candidate
         # derivation + exact re-rank + recall re-computed in SQL

@@ -167,6 +167,9 @@ def main() -> None:
     # key keeps timing the SAME single-query brute-force plan for
     # cross-round comparability
     qs["bm25_topk_hot"] = entrymod._mk_bm25_query(entrymod.HOT_QUERY)
+    # knn_bruteforce was consolidated into knn_multi_metric in r5; the
+    # bench key keeps timing the SAME single-metric cosine plan
+    qs["knn_bruteforce"] = entrymod._q_knn_bruteforce
     for name in ("bm25_topk_hot", "exact_dedup_count", "minhash_lsh_pairs",
                  "text_stats", "knn_bruteforce", "tpch_q1", "events_sessions"):
         timed(f"q_{name}", lambda n=name: qs[n](spark, SF_DIR).collect())
@@ -207,6 +210,19 @@ def main() -> None:
     xtimed("x_search_mixed_batch_10",
            lambda: pos_eng.searches(mixed10, k=10).collect())
     shutil.rmtree(pos_path, ignore_errors=True)
+    # round-5 advanced predicates (NOT / min_match / prefix in one job),
+    # match enumeration, and facet counts — on the non-positional index
+    advanced = [
+        {"text": "join hash row", "exclude": "dup"},
+        {"text": "scan window spark", "min_match": 2},
+        {"text": "join s*", "prefix": True},
+    ]
+    xtimed("x_search_advanced_batch",
+           lambda: eng.searches(advanced, k=10).collect())
+    xtimed("x_search_matches",
+           lambda: eng.matches(["dup join"]).count())
+    xtimed("x_facet_lang",
+           lambda: eng.facets(["join hash row"], docs, "lang").collect())
 
     # ---- scaling evidence: same job, same input, N vs 4N cores ------------
     # N=1, 4N=4 by default: this is ONE machine — all threads share one
