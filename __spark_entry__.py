@@ -231,6 +231,21 @@ def _q_bm25_phrase(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_search_after(spark, sf_dir):
+    """Deep paging (search_after): page 2 of the hot query via the
+    (score, doc_id) cursor of page 1's last row — the cursor filter is
+    applied pre-heap inside each shard, so page N costs page-1 work
+    (never the N·k rows-per-shard an OFFSET plan materializes). Oracle:
+    the same BM25 SQL with OFFSET k — rank-identity between the cursor
+    path and the global ordering IS the correctness claim."""
+    eng = _engine(spark, sf_dir)
+    q = " ".join(HOT_QUERY)
+    p1 = eng.search(q, k=K).collect()  # cursor = last row, UNROUNDED score
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    res = eng.search(q, k=K, after=cursor)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 NEAR_QUERY = "table hash"
 NEAR_WINDOW = 4
 
@@ -990,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_unicode": _q_bm25_unicode,
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_conjunctive": _q_bm25_conjunctive,
+        "bm25_search_after": _q_bm25_search_after,
         "bm25_topk_phrase": _q_bm25_phrase,
         "bm25_topk_near": _q_bm25_near,
         "bm25_topk_near_unordered": _q_bm25_near_unordered,
@@ -1059,7 +1075,7 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
               keep_where: str | None = None, conjunctive: bool = False,
               exclude_terms: list[str] | None = None, min_match: int = 0,
               prefix_stems: list[str] | None = None,
-              enumerate_all: bool = False) -> str:
+              enumerate_all: bool = False, offset: int = 0) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
     stats stay over all docs), matching frozen-stats delete semantics.
     keep_where: SQL predicate over the documents table selecting the
@@ -1077,7 +1093,10 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
     (the engine expands against the same stats-table dictionary, each
     expansion scoring with its own idf).
     enumerate_all: match ENUMERATION (k=None) — every qualifying doc, no
-    ORDER BY / LIMIT (the driver compare is order-insensitive)."""
+    ORDER BY / LIMIT (the driver compare is order-insensitive).
+    offset: pagination twin of the engine's search_after cursor — rows
+    ranked (offset, offset+k] of the global (s DESC, doc_id ASC) order
+    (the ORACLE may use OFFSET; the engine never does)."""
     vals = ", ".join(f"('{t}')" for t in terms)
     if prefix_stems:
         likes = " OR ".join(f"term LIKE '{s}%'" for s in prefix_stems)
@@ -1105,7 +1124,8 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
     else:
         having = ""
     tail = ("" if enumerate_all
-            else f"\nORDER BY s DESC, doc_id ASC LIMIT {k}")
+            else f"\nORDER BY s DESC, doc_id ASC LIMIT {k}"
+                 + (f" OFFSET {int(offset)}" if offset else ""))
     return (
         BM25_CTES
         + f""",
@@ -1463,6 +1483,10 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_topk_unicode": _bm25_unicode_sql(),
         "bm25_topk_filtered": _bm25_sql(HOT_QUERY, keep_where="lang = 'en'"),
         "bm25_topk_conjunctive": _bm25_sql(HOT_QUERY, conjunctive=True),
+        # page 2 via the search_after cursor must equal OFFSET k of the
+        # global ordering — the cursor path is rank-identical, at page-1
+        # cost (the engine never materializes N·k rows per shard)
+        "bm25_search_after": _bm25_sql(HOT_QUERY, offset=K),
         "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
         "bm25_topk_near": _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW),
         "bm25_topk_near_unordered": _bm25_near_unordered_sql(

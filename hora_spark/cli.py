@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="parse trailing-'*' words as dictionary prefix "
                         "queries (tok* matches every index term starting "
                         "with tok, each scored with its own idf)")
+    s.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                   help="deep-paging cursor (search_after): pass the "
+                        "score,doc_id of the previous page's LAST row to "
+                        "get the next k results at page-1 cost (applies "
+                        "to every -q in the invocation)")
     s.add_argument("--facet-by", default=None, metavar="PARQUET:COLUMN",
                    help="instead of top-k rows, print facet counts over "
                         "ALL matching docs, grouped by COLUMN of the "
@@ -182,12 +187,17 @@ def main(argv: list[str] | None = None) -> int:
                                   "facet": r["facet"],
                                   "n_docs": r["n_docs"]}))
         else:
+            after = None
+            if args.after:
+                s_str, _, d_str = args.after.partition(",")
+                after = (float(s_str), int(d_str))
             res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
                                filter_df=fdf, mode=args.mode,
                                near_window=args.near_window,
                                exclude=args.exclude,
                                min_match=args.min_match,
-                               expand_prefixes=args.prefix)
+                               expand_prefixes=args.prefix,
+                               after=after)
             for r in res.collect():
                 print(json.dumps({"query": args.query[r["query_id"]],
                                   "doc_id": r["doc_id"], "score": r["score"]}))

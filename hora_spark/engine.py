@@ -66,7 +66,8 @@ class Engine:
     def search(self, query: str, k: int | None = None, prune: bool = True,
                version: int | None = None, mode: str = "any",
                near_window: int = 5, exclude: str | None = None,
-               min_match: int = 0, expand_prefixes: bool = False) -> DataFrame:
+               min_match: int = 0, expand_prefixes: bool = False,
+               after: tuple[float, int] | None = None) -> DataFrame:
         """mode='all' gives conjunctive (AND) semantics — only docs
         matching every query term, scored with the same BM25 sums.
         mode='phrase' requires exact token adjacency, mode='near'
@@ -79,23 +80,29 @@ class Engine:
         (must_not; survivors' scores unchanged); min_match=n keeps only
         docs matching ≥ n distinct query terms (minimum_should_match,
         mode='any'); expand_prefixes=True parses trailing-'*' words as
-        dictionary prefix queries ("tok*")."""
+        dictionary prefix queries ("tok*"); after=(score, doc_id) is the
+        deep-paging cursor — pass the last row of the previous page to
+        get the next k results at page-1 cost (search_after, never
+        OFFSET)."""
         return self.searches([query], k=k, prune=prune, version=version,
                              mode=mode, near_window=near_window,
                              exclude=exclude, min_match=min_match,
-                             expand_prefixes=expand_prefixes).drop("query_id")
+                             expand_prefixes=expand_prefixes,
+                             after=after).drop("query_id")
 
     def searches(self, queries: list, k: int | None = None, prune: bool = True,
                  version: int | None = None, filter_df: DataFrame | None = None,
                  mode: str = "any", near_window: int = 5,
                  exclude: str | None = None, min_match: int = 0,
-                 expand_prefixes: bool = False) -> DataFrame:
+                 expand_prefixes: bool = False,
+                 after: tuple[float, int] | None = None) -> DataFrame:
         """Batched search: ONE Spark job for any number of queries.
         Each element of `queries` is a string (searched with the
         call-level options), a (text, mode) / (text, mode, near_window)
         tuple, or a dict with any of {text, mode, near_window, exclude,
-        min_match, prefix} — a mixed workload (phrase + bag-of-words +
-        NOT + prefix) still runs as a single job."""
+        min_match, prefix, after} — a mixed workload (phrase +
+        bag-of-words + NOT + prefix + page-2 cursors) still runs as a
+        single job."""
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
         v = self.store.current_version() if version is None else version
@@ -105,7 +112,7 @@ class Engine:
             cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
             filter_df=filter_df, mode=mode, near_window=near_window,
             exclude=exclude, min_match=min_match,
-            expand_prefixes=expand_prefixes,
+            expand_prefixes=expand_prefixes, after=after,
         )
 
     def matches(self, queries: list, version: int | None = None,

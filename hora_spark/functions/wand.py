@@ -157,6 +157,7 @@ def _score_terms_on_docs(
     phrase: list[tuple[int, list[int]]] | None = None,
     near_window: int | None = None,
     near_unordered: bool = False,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
@@ -200,7 +201,19 @@ def _score_terms_on_docs(
     allowed: optional SORTED int64 keep-list (filtered search): docs NOT
     in it are dropped before the heap — same exactness argument as
     deletes, inverted. An EMPTY array means 'filter active, nothing
-    allowed' (None means no filter)."""
+    allowed' (None means no filter).
+
+    after: optional (score, doc_id) cursor for deep paging
+    (search_after): only docs STRICTLY AFTER the cursor in the global
+    (score DESC, doc_id ASC) result order qualify — score < cursor
+    score, or equal score with a larger doc_id. Applied before the
+    heap like deletes, so θ tracks the k-th CURSOR-QUALIFIED score and
+    block-max pruning stays exact (a skipped region bounds scores from
+    above, so nothing below θ is lost; above-cursor docs are merely
+    masked, never mis-scored). Exact float equality at the tie branch
+    is sound because the cursor comes from this engine's own previous
+    page — recomputing the same doc's score is bit-identical (pinned
+    summation order)."""
     all_ids: list[np.ndarray] = []
     all_contrib: list[np.ndarray] = []
     for t, blocks in zip(terms, blocks_per_term):
@@ -224,6 +237,10 @@ def _score_terms_on_docs(
         counts = np.zeros(len(uids), dtype=np.int64)
         np.add.at(counts, inv, 1)
         qual = counts >= min_match
+        uids, scores = uids[qual], scores[qual]
+    if after is not None and len(uids):
+        cs, cd = float(after[0]), int(after[1])
+        qual = (scores < cs) | ((scores == cs) & (uids > cd))
         uids, scores = uids[qual], scores[qual]
     if deleted is not None and len(deleted) and len(uids):
         live = ~_in_sorted(deleted, uids)
@@ -330,8 +347,14 @@ def shard_topk(
     phrase: list[tuple[int, list[int]]] | None = None,
     near_window: int | None = None,
     near_unordered: bool = False,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
+
+    after: (score, doc_id) deep-paging cursor — only docs strictly after
+    it in (score DESC, doc_id ASC) order qualify; θ then tracks the k-th
+    qualified score, so the next page prunes as hard as a fresh query
+    whose θ starts near the cursor. See _score_terms_on_docs.
 
     phrase: slot list for exact phrase matching (see
     _score_terms_on_docs) — combine with min_match = len(distinct phrase
@@ -373,6 +396,7 @@ def shard_topk(
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
             deleted, allowed, min_match, phrase, near_window, near_unordered,
+            after,
         )
         return (ids, scores) if k is None else _topk(ids, scores, k)
 
@@ -436,7 +460,7 @@ def shard_topk(
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
                 avgdl, k1, b, deleted, allowed, min_match, phrase,
-                near_window, near_unordered,
+                near_window, near_unordered, after,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

@@ -46,7 +46,7 @@ _EMPTY = pd.DataFrame(
 
 def _shard_search(
     seg_pdf: pd.DataFrame,
-    queries: list[tuple[list[str], str, int, list[str], int]],
+    queries: list[tuple[list[str], str, int, list[str], int, tuple | None]],
     idf_map: dict,
     k: int | None,
     avgdl: float,
@@ -138,7 +138,8 @@ def _shard_search(
     out_q, out_d, out_s = [], [], []
     # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
     # normal shape of real traffic — one Spark job serves it)
-    for qid, (terms, mode, near_window, excl_terms, min_match) in enumerate(queries):
+    for qid, (terms, mode, near_window, excl_terms, min_match,
+              after) in enumerate(queries):
         positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct
@@ -192,7 +193,8 @@ def _shard_search(
                                  deleted=dels_q, allowed=allowed,
                                  min_match=mm, phrase=phrase,
                                  near_window=nw,
-                                 near_unordered=(mode == "near_unordered"))
+                                 near_unordered=(mode == "near_unordered"),
+                                 after=after)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -291,6 +293,7 @@ def search_topk(
     exclude: str | None = None,
     min_match: int = 0,
     expand_prefixes: bool = False,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
@@ -351,10 +354,22 @@ def search_topk(
     k=None: return ALL matching docs (match enumeration — see
     search_matches) instead of a top-k; the result is unordered.
 
+    after: (score, doc_id) deep-paging cursor (search_after, the scale-
+    safe alternative to OFFSET): results are the top-k among docs
+    STRICTLY AFTER the cursor in (score DESC, doc_id ASC) order, i.e.
+    the next page when the cursor is the last row of the previous page.
+    Page N costs the same as page 1 (the cursor filter is applied
+    pre-heap inside each shard, so θ tightens just as fast and no shard
+    ever materializes N·k rows — OFFSET-style paging would). Cursor
+    equality is exact-float sound because the cursor comes from this
+    engine's own previous page (pinned summation order ⇒ bit-identical
+    recomputation). Composes with every mode/filter; per-query via the
+    dict key 'after'.
+
     Per-query dict specs may set any of {text, mode, near_window,
-    exclude, min_match, prefix}; unset keys inherit the call-level
-    arguments, so a mixed batch (phrase + NOT + prefix + plain) is still
-    ONE Spark job."""
+    exclude, min_match, prefix, after}; unset keys inherit the
+    call-level arguments, so a mixed batch (phrase + NOT + prefix +
+    plain + page-2) is still ONE Spark job."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -370,11 +385,19 @@ def search_topk(
     # the call-level defaults. A dict spec may set any of the keys
     # {text, mode, near_window, exclude, min_match, prefix}.
     _VALID = ("any", "all") + POSITIONAL_MODES
-    specs: list[tuple[str, str, int, str | None, int, bool]] = []
+
+    def _norm_after(a) -> tuple[float, int] | None:
+        if a is None:
+            return None
+        s, d = a
+        return (float(s), int(d))
+
+    specs: list[tuple[str, str, int, str | None, int, bool,
+                      tuple[float, int] | None]] = []
     for q in queries:
         if isinstance(q, str):
             specs.append((q, mode, near_window, exclude, min_match,
-                          expand_prefixes))
+                          expand_prefixes, _norm_after(after)))
         elif isinstance(q, dict):
             q_mode = q.get("mode") or mode
             specs.append((
@@ -383,6 +406,7 @@ def search_topk(
                 q.get("exclude", exclude),
                 int(q.get("min_match", min_match)),
                 bool(q.get("prefix", expand_prefixes)),
+                _norm_after(q.get("after", after)),
             ))
         else:
             parts = tuple(q)
@@ -390,11 +414,11 @@ def search_topk(
             q_nw = (int(parts[2]) if len(parts) > 2 and parts[2] is not None
                     else near_window)
             specs.append((parts[0], q_mode, q_nw, exclude, min_match,
-                          expand_prefixes))
+                          expand_prefixes, _norm_after(after)))
     bad = sorted({s[1] for s in specs if s[1] not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    for _, m, _, _, mm, pf in specs:
+    for _, m, _, _, mm, pf, _ in specs:
         if mm and m != "any":
             raise ValueError(
                 "min_match applies to mode='any' only (mode='all' IS "
@@ -419,7 +443,7 @@ def search_topk(
     uni = bool(meta.get("unicode", False))
     cache = idf_cache if idf_cache is not None else {}
     q_specs: list[list] = []
-    for text, m, nw, ex, mm, pf in specs:
+    for text, m, nw, ex, mm, pf, af in specs:
         ex_terms = sorted(set(tokenize_py(ex, unicode=uni))) if ex else []
         if m in POSITIONAL_MODES:
             toks = tokenize_py(text, unicode=uni)
@@ -427,7 +451,7 @@ def search_topk(
             toks = ("*", *_parse_prefix_terms(text, uni))  # resolved below
         else:
             toks = sorted(set(tokenize_py(text, unicode=uni)))
-        q_specs.append([toks, m, nw, ex_terms, mm])
+        q_specs.append([toks, m, nw, ex_terms, mm, af])
     need_stems = sorted({s for qs in q_specs if isinstance(qs[0], tuple)
                          for s in qs[0][2]})
     if need_stems:
