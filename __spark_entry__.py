@@ -351,11 +351,12 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
     )
 
 
-# one batch, seven predicate shapes, ONE Spark job (round-5: per-query
+# one batch, eight predicate shapes, ONE Spark job (round-5: per-query
 # mode rides through the shard UDF; tools/mixed_mode_ab.py measures
-# ~3.3× over mode-segregated jobs at batch-10). The last three are dict
+# ~3.3× over mode-segregated jobs at batch-10). The last four are dict
 # specs exercising the advanced predicates: NOT terms (must_not),
-# minimum_should_match, and dictionary prefix expansion.
+# minimum_should_match, dictionary prefix expansion, and fuzzy
+# (edit-distance) expansion.
 MIXED_BATCH = [
     (" ".join(MID_QUERY), "any", None),
     (" ".join(HOT_QUERY), "all", None),
@@ -364,14 +365,15 @@ MIXED_BATCH = [
     {"text": " ".join(HOT_QUERY), "exclude": " ".join(RARE_QUERY)},
     {"text": " ".join(MID_QUERY), "min_match": 2},
     {"text": "join s*", "prefix": True},
+    {"text": "hash~ w00042~", "prefix": True},  # fuzzy: edit distance ≤ 1
 ]
 
 
 def _q_search_mixed_batch(spark, sf_dir):
     """Mixed-mode batched search: bag-of-words + conjunctive + phrase +
-    proximity + NOT terms + minimum_should_match + prefix expansion in one
-    job over the positional index. Oracle: the union of the seven
-    single-predicate SQL twins, labeled by query_id."""
+    proximity + NOT terms + minimum_should_match + prefix expansion +
+    fuzzy expansion in one job over the positional index. Oracle: the
+    union of the eight single-predicate SQL twins, labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -388,6 +390,7 @@ def _mixed_batch_sql(k: int = K) -> str:
         _bm25_sql(HOT_QUERY, k, exclude_terms=RARE_QUERY),
         _bm25_sql(MID_QUERY, k, min_match=2),
         _bm25_sql(["join"], k, prefix_stems=["s"]),
+        _bm25_sql([], k, fuzzy_specs=[("hash", 1), ("w00042", 1)]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
@@ -1075,6 +1078,7 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
               keep_where: str | None = None, conjunctive: bool = False,
               exclude_terms: list[str] | None = None, min_match: int = 0,
               prefix_stems: list[str] | None = None,
+              fuzzy_specs: list[tuple[str, int]] | None = None,
               enumerate_all: bool = False, offset: int = 0) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
     stats stay over all docs), matching frozen-stats delete semantics.
@@ -1092,15 +1096,22 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
     UNION of the plain `terms` and every corpus term starting with a stem
     (the engine expands against the same stats-table dictionary, each
     expansion scoring with its own idf).
+    fuzzy_specs: dictionary fuzzy expansion [(stem, max_edit_distance)] —
+    every corpus term within levenshtein distance d of the stem joins the
+    query term set (stem included), same own-idf scoring as prefixes.
     enumerate_all: match ENUMERATION (k=None) — every qualifying doc, no
     ORDER BY / LIMIT (the driver compare is order-insensitive).
     offset: pagination twin of the engine's search_after cursor — rows
     ranked (offset, offset+k] of the global (s DESC, doc_id ASC) order
     (the ORACLE may use OFFSET; the engine never does)."""
     vals = ", ".join(f"('{t}')" for t in terms)
-    if prefix_stems:
-        likes = " OR ".join(f"term LIKE '{s}%'" for s in prefix_stems)
-        branches = [f"SELECT term FROM dfs WHERE {likes}"]
+    if prefix_stems or fuzzy_specs:
+        preds = [f"term LIKE '{s}%'" for s in (prefix_stems or [])]
+        # fuzzy twin: dictionary expansion by edit distance (the engine's
+        # length-window + levenshtein scan, in one DuckDB predicate)
+        preds += [f"levenshtein(term, '{s}') <= {int(d)}"
+                  for s, d in (fuzzy_specs or [])]
+        branches = [f"SELECT term FROM dfs WHERE {' OR '.join(preds)}"]
         if terms:
             branches.append(f"SELECT term FROM (VALUES {vals}) v(term)")
         q_cte = "q(term) AS (" + " UNION ".join(branches) + ")"

@@ -81,9 +81,12 @@ def main(argv: list[str] | None = None) -> int:
                         "at least this many distinct query terms "
                         "(mode=any)")
     s.add_argument("--prefix", action="store_true",
-                   help="parse trailing-'*' words as dictionary prefix "
-                        "queries (tok* matches every index term starting "
-                        "with tok, each scored with its own idf)")
+                   help="parse dictionary-expansion syntax: trailing-'*' "
+                        "prefix queries (tok* matches every index term "
+                        "starting with tok) and trailing-'~' fuzzy "
+                        "queries (tok~ / tok~2 match terms within edit "
+                        "distance 1 / 2), each expansion scored with its "
+                        "own idf")
     s.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="deep-paging cursor (search_after): pass the "
                         "score,doc_id of the previous page's LAST row to "

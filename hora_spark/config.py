@@ -124,6 +124,11 @@ class EngineConfig:
     # collect an unbounded term list to the driver and OR thousands of
     # posting scans — Lucene's maxClauseCount guard, same reasoning)
     max_prefix_expansion: int = 1024
+    # fuzzy queries ("tok~", "tok~2") expand against the same dictionary
+    # via edit distance; the per-stem ceiling is tighter than prefixes
+    # because a distance-2 match over a huge vocabulary ORs many posting
+    # scans (Lucene caps FuzzyQuery rewrites the same way)
+    max_fuzzy_expansion: int = 256
     # tombstone sets at or below this many ids are collected to the driver
     # and broadcast (8 bytes/id → ≤ ~8 MB); above it the query and
     # compaction paths switch to a shard-aligned cogroup so the delete set

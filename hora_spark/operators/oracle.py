@@ -47,6 +47,7 @@ def bruteforce_topk(
     exclude: str | None = None,
     min_match: int = 0,
     prefix_stems: list[str] | None = None,
+    fuzzy_specs: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Exact top-k: (doc_id, score) ordered by (score DESC, doc_id ASC).
 
@@ -60,16 +61,21 @@ def bruteforce_topk(
     (left_anti against their tf rows; survivors' scores untouched).
     min_match: keep only docs matching ≥ this many distinct query terms.
     prefix_stems: extra query terms = every corpus term starting with a
-    stem, each scored with its own idf (the engine's prefix rewrite)."""
+    stem, each scored with its own idf (the engine's prefix rewrite).
+    fuzzy_specs: [(stem, d)] — extra query terms = every corpus term
+    within levenshtein distance d of a stem (the engine's fuzzy rewrite,
+    here via the INDEPENDENT JVM levenshtein over the stats table)."""
     cfg = cfg or EngineConfig()
     q = query_terms_df(spark, query, corpus, cfg).select("term", "idf")
-    if prefix_stems:
+    if prefix_stems or fuzzy_specs:
         from functools import reduce
         from operator import or_
 
-        cond = reduce(or_, [F.col("term").startswith(s) for s in prefix_stems])
+        conds = [F.col("term").startswith(s) for s in (prefix_stems or [])]
+        conds += [F.levenshtein(F.col("term"), F.lit(s)) <= d
+                  for s, d in (fuzzy_specs or [])]
         q = q.unionByName(
-            corpus.term_stats.filter(cond).select("term", "idf")
+            corpus.term_stats.filter(reduce(or_, conds)).select("term", "idf")
         ).dropDuplicates(["term"])
     n_terms = len(set(tokenize_py(query, unicode=corpus.unicode)))
     scored = (

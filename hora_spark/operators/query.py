@@ -22,6 +22,8 @@ UDF loops over queries in numpy. Single-query latency is the batch of one.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -209,23 +211,37 @@ def _shard_search(
     )
 
 
-def _parse_prefix_terms(text: str, unicode: bool) -> tuple[list[str], list[str]]:
-    """Split a prefix-enabled query into (plain tokens, prefix stems):
-    whitespace words ending in '*' are prefix stems (the stem must reduce
-    to exactly ONE index token), everything else tokenizes normally."""
+_FUZZY_RE = re.compile(r"^(?P<stem>.+?)~(?P<dist>[12])?$")
+
+
+def _parse_prefix_terms(
+    text: str, unicode: bool,
+) -> tuple[list[str], list[str], list[tuple[str, int]]]:
+    """Split an expansion-syntax query into (plain tokens, prefix stems,
+    fuzzy specs): whitespace words ending in '*' are prefix stems, words
+    ending in '~' or '~1'/'~2' are fuzzy terms (Lucene's fuzzy syntax;
+    bare '~' means edit distance 1), everything else tokenizes normally.
+    A stem/fuzzy word must reduce to exactly ONE index token."""
     plains: list[str] = []
     stems: list[str] = []
+    fuzz: list[tuple[str, int]] = []
     for w in (text or "").split():
-        if w.endswith("*"):
-            st = tokenize_py(w.rstrip("*"), unicode=unicode)
+        fm = None if w.endswith("*") else _FUZZY_RE.match(w)
+        if w.endswith("*") or fm:
+            raw = w.rstrip("*") if fm is None else fm.group("stem")
+            st = tokenize_py(raw, unicode=unicode)
             if len(st) != 1:
                 raise ValueError(
-                    f"prefix token {w!r} must reduce to exactly one index token"
+                    f"expansion token {w!r} must reduce to exactly one "
+                    "index token"
                 )
-            stems.append(st[0])
+            if fm is None:
+                stems.append(st[0])
+            else:
+                fuzz.append((st[0], int(fm.group("dist") or 1)))
         else:
             plains.extend(tokenize_py(w, unicode=unicode))
-    return plains, stems
+    return plains, stems, fuzz
 
 
 def _expand_stems(
@@ -276,6 +292,81 @@ def _expand_stems(
             for t, i in got:
                 cache[t] = i
     return {s: cache["*" + s] for s in stems}
+
+
+def _expand_fuzzy(
+    store: SnapshotStore,
+    version: int | None,
+    fuzz: list[tuple[str, int]],
+    cache: dict,
+    cfg: EngineConfig,
+) -> dict[tuple[str, int], list[str]]:
+    """Expand fuzzy terms ("tok~", "tok~2") against the index DICTIONARY:
+    every index term within edit distance d of the stem (the stem itself
+    included, like Lucene's FuzzyQuery). ONE scan serves the whole batch:
+    a pushed-down length window (|len(term) − len(stem)| ≤ d — a necessary
+    condition for edit distance ≤ d) prunes most of the dictionary before
+    the JVM-side `levenshtein` verifies exactly; no Python runs per term.
+    The dictionary is vocabulary-sized (terms, not docs), so even at
+    10^12 turns the scan is the small side of the workload. Expansions
+    cap at cfg.max_fuzzy_expansion per stem — same maxClauseCount
+    reasoning as prefixes — and each expanded term scores with its OWN
+    idf (Lucene's scoring-boolean rewrite)."""
+    from functools import reduce
+    from operator import or_
+
+    cap = cfg.max_fuzzy_expansion
+
+    def key(s: str, d: int) -> str:
+        return f"~{d}:{s}"
+
+    missing = [(s, d) for s, d in fuzz if key(s, d) not in cache]
+    if missing:
+        cond = reduce(or_, [
+            F.length("term").between(len(s) - d, len(s) + d)
+            & (F.levenshtein(F.col("term"), F.lit(s)) <= d)
+            for s, d in missing
+        ])
+        total_cap = cap * len(missing)
+        rows = (
+            store.read("stats", version)
+            .filter(cond)
+            .select("term", "idf")
+            .limit(total_cap + 1)
+            .collect()
+        )
+        if len(rows) > total_cap:
+            raise ValueError(
+                f"fuzzy expansion exceeds {total_cap} terms for "
+                f"{missing}; shorten the distance or raise "
+                "EngineConfig.max_fuzzy_expansion"
+            )
+
+        def _lev(a: str, b: str) -> int:
+            # tiny driver-side verify over the ≤cap collected rows only
+            # (attributing shared scan rows to the right stem)
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        for s, d in missing:
+            got = [(r["term"], float(r["idf"])) for r in rows
+                   if abs(len(r["term"]) - len(s)) <= d
+                   and _lev(r["term"], s) <= d]
+            if len(got) > cap:
+                raise ValueError(
+                    f"fuzzy '{s}~{d}' expands to {len(got)} terms "
+                    f"(> max_fuzzy_expansion={cap}); narrow it"
+                )
+            cache[key(s, d)] = [t for t, _ in got]
+            for t, i in got:
+                cache[t] = i
+    return {(s, d): cache[key(s, d)] for s, d in fuzz}
 
 
 def search_topk(
@@ -345,11 +436,15 @@ def search_topk(
     matching at least this many DISTINCT query terms (absent-from-corpus
     terms can never count, matching Lucene's matched-clause semantics).
 
-    expand_prefixes: parse trailing-'*' words as prefix queries
-    ("tok*" matches every index term starting with 'tok'); expansion
-    happens against the stats-table dictionary (pushed-down startswith,
-    capped at cfg.max_prefix_expansion per stem) and each expanded term
-    scores with its OWN idf (Lucene's scoring-boolean rewrite).
+    expand_prefixes: parse dictionary-expansion syntax — trailing-'*'
+    words are prefix queries ("tok*" matches every index term starting
+    with 'tok'), trailing-'~' / '~1' / '~2' words are fuzzy queries
+    ("tok~2" matches every index term within edit distance 2 of 'tok',
+    the stem included). Expansion happens against the stats-table
+    dictionary (pushed-down startswith / length-window + JVM
+    levenshtein; capped at cfg.max_prefix_expansion /
+    cfg.max_fuzzy_expansion per stem) and each expanded term scores
+    with its OWN idf (Lucene's scoring-boolean rewrite).
 
     k=None: return ALL matching docs (match enumeration — see
     search_matches) instead of a top-k; the result is unordered.
@@ -424,11 +519,12 @@ def search_topk(
                 "min_match applies to mode='any' only (mode='all' IS "
                 "min_match=len(terms); positional modes imply it)")
         if pf and m != "any":
-            raise ValueError("prefix expansion applies to mode='any' only")
+            raise ValueError(
+                "prefix/fuzzy expansion applies to mode='any' only")
         if pf and mm:
             raise ValueError(
-                "min_match over prefix expansions is ambiguous (one stem "
-                "can satisfy many clauses) — use one or the other")
+                "min_match over prefix/fuzzy expansions is ambiguous (one "
+                "stem can satisfy many clauses) — use one or the other")
     any_positional = any(s[1] in POSITIONAL_MODES for s in specs)
     if any_positional and not bool(meta.get("store_positions", False)):
         raise ValueError(
@@ -454,13 +550,19 @@ def search_topk(
         q_specs.append([toks, m, nw, ex_terms, mm, af])
     need_stems = sorted({s for qs in q_specs if isinstance(qs[0], tuple)
                          for s in qs[0][2]})
-    if need_stems:
-        exp = _expand_stems(store, version, need_stems, cache, cfg)
+    need_fuzz = sorted({f for qs in q_specs if isinstance(qs[0], tuple)
+                        for f in qs[0][3]})
+    if need_stems or need_fuzz:
+        exp = (_expand_stems(store, version, need_stems, cache, cfg)
+               if need_stems else {})
+        fexp = (_expand_fuzzy(store, version, need_fuzz, cache, cfg)
+                if need_fuzz else {})
         for qs in q_specs:
             if isinstance(qs[0], tuple):
-                _, plains, stems = qs[0]
+                _, plains, stems, fuzz = qs[0]
                 qs[0] = sorted(set(plains)
-                               | {t for s in stems for t in exp[s]})
+                               | {t for s in stems for t in exp[s]}
+                               | {t for f in fuzz for t in fexp[f]})
     q_specs = [tuple(qs) for qs in q_specs]
     all_terms = sorted({t for ts, *_ in q_specs for t in ts})
     if not all_terms:
