@@ -351,12 +351,12 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
     )
 
 
-# one batch, eight predicate shapes, ONE Spark job (round-5: per-query
+# one batch, nine predicate shapes, ONE Spark job (round-5: per-query
 # mode rides through the shard UDF; tools/mixed_mode_ab.py measures
-# ~3.3× over mode-segregated jobs at batch-10). The last four are dict
+# ~3.3× over mode-segregated jobs at batch-10). The last five are dict
 # specs exercising the advanced predicates: NOT terms (must_not),
-# minimum_should_match, dictionary prefix expansion, and fuzzy
-# (edit-distance) expansion.
+# minimum_should_match, dictionary prefix expansion, fuzzy
+# (edit-distance) expansion, and per-term boosts.
 MIXED_BATCH = [
     (" ".join(MID_QUERY), "any", None),
     (" ".join(HOT_QUERY), "all", None),
@@ -366,14 +366,17 @@ MIXED_BATCH = [
     {"text": " ".join(MID_QUERY), "min_match": 2},
     {"text": "join s*", "prefix": True},
     {"text": "hash~ w00042~", "prefix": True},  # fuzzy: edit distance ≤ 1
+    {"text": " ".join(HOT_QUERY),                # per-term boosts (term^w)
+     "boosts": {"join": 2.5, "row": 0.5}},
 ]
 
 
 def _q_search_mixed_batch(spark, sf_dir):
     """Mixed-mode batched search: bag-of-words + conjunctive + phrase +
     proximity + NOT terms + minimum_should_match + prefix expansion +
-    fuzzy expansion in one job over the positional index. Oracle: the
-    union of the eight single-predicate SQL twins, labeled by query_id."""
+    fuzzy expansion + per-term boosts in one job over the positional
+    index. Oracle: the union of the nine single-predicate SQL twins,
+    labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -391,6 +394,7 @@ def _mixed_batch_sql(k: int = K) -> str:
         _bm25_sql(MID_QUERY, k, min_match=2),
         _bm25_sql(["join"], k, prefix_stems=["s"]),
         _bm25_sql([], k, fuzzy_specs=[("hash", 1), ("w00042", 1)]),
+        _bm25_sql(HOT_QUERY, k, boosts={"join": 2.5, "row": 0.5}),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
@@ -1079,6 +1083,7 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
               exclude_terms: list[str] | None = None, min_match: int = 0,
               prefix_stems: list[str] | None = None,
               fuzzy_specs: list[tuple[str, int]] | None = None,
+              boosts: dict[str, float] | None = None,
               enumerate_all: bool = False, offset: int = 0) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
     stats stay over all docs), matching frozen-stats delete semantics.
@@ -1099,6 +1104,8 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
     fuzzy_specs: dictionary fuzzy expansion [(stem, max_edit_distance)] —
     every corpus term within levenshtein distance d of the stem joins the
     query term set (stem included), same own-idf scoring as prefixes.
+    boosts: per-term query boosts {term: w} — a boosted term's BM25
+    contribution is multiplied by w (the engine's term^w rewrite).
     enumerate_all: match ENUMERATION (k=None) — every qualifying doc, no
     ORDER BY / LIMIT (the driver compare is order-insensitive).
     offset: pagination twin of the engine's search_after cursor — rows
@@ -1137,13 +1144,19 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
     tail = ("" if enumerate_all
             else f"\nORDER BY s DESC, doc_id ASC LIMIT {k}"
                  + (f" OFFSET {int(offset)}" if offset else ""))
+    if boosts:
+        cases = " ".join(f"WHEN '{t}' THEN {float(w)!r}"
+                         for t, w in sorted(boosts.items()))
+        bw = f"(CASE term {cases} ELSE 1.0 END) * "
+    else:
+        bw = ""
     return (
         BM25_CTES
         + f""",
 {q_cte},
 scored AS (
   SELECT tfx.doc_id,
-         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+         sum( {bw}LN((N - df + 0.5) / (df + 0.5) + 1.0)
               * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
   FROM tfx
   JOIN docs USING (doc_id)

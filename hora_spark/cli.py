@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
                         "queries (tok~ / tok~2 match terms within edit "
                         "distance 1 / 2), each expansion scored with its "
                         "own idf")
+    s.add_argument("--boost", action="append", default=None,
+                   metavar="TERM=W",
+                   help="per-term boost (repeatable): multiply TERM's "
+                        "BM25 contribution by W > 0 (Lucene's term^W); "
+                        "applies to every -q in the invocation")
     s.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="deep-paging cursor (search_after): pass the "
                         "score,doc_id of the previous page's LAST row to "
@@ -194,13 +199,19 @@ def main(argv: list[str] | None = None) -> int:
             if args.after:
                 s_str, _, d_str = args.after.partition(",")
                 after = (float(s_str), int(d_str))
+            boosts = None
+            if args.boost:
+                boosts = {}
+                for spec in args.boost:
+                    t, _, w = spec.partition("=")
+                    boosts[t] = float(w)
             res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
                                filter_df=fdf, mode=args.mode,
                                near_window=args.near_window,
                                exclude=args.exclude,
                                min_match=args.min_match,
                                expand_prefixes=args.prefix,
-                               after=after)
+                               after=after, boosts=boosts)
             for r in res.collect():
                 print(json.dumps({"query": args.query[r["query_id"]],
                                   "doc_id": r["doc_id"], "score": r["score"]}))

@@ -95,6 +95,21 @@ class TermPosting:
             self._cache[j] = got
         return got
 
+    def boosted(self, w: float) -> "TermPosting":
+        """Shallow boosted view for per-term query boosts (term^w): idf
+        and block_max scale by w, so contributions AND the block upper
+        bounds scale together — pruning stays exact for any w > 0
+        (a negative w would flip the bound direction, which is why the
+        query layer rejects it). Decode caches are SHARED with the
+        parent by reference: blocks still decode once per shard even
+        when several queries boost the same term differently."""
+        other = TermPosting.__new__(TermPosting)
+        for s in TermPosting.__slots__:
+            setattr(other, s, getattr(self, s))
+        other.idf = self.idf * w
+        other.block_max = self.block_max * w
+        return other
+
     def decode_pos(self, j: int) -> tuple[np.ndarray, np.ndarray]:
         """Block j's flat within-doc positions + per-posting offsets
         (offsets[i] .. offsets[i+1] are the positions of the block's i-th

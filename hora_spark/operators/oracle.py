@@ -48,6 +48,7 @@ def bruteforce_topk(
     min_match: int = 0,
     prefix_stems: list[str] | None = None,
     fuzzy_specs: list[tuple[str, int]] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Exact top-k: (doc_id, score) ordered by (score DESC, doc_id ASC).
 
@@ -77,6 +78,14 @@ def bruteforce_topk(
         q = q.unionByName(
             corpus.term_stats.filter(reduce(or_, conds)).select("term", "idf")
         ).dropDuplicates(["term"])
+    if boosts:
+        # per-term boost = scale that term's idf (same rewrite the
+        # engine applies to contributions and block bounds alike)
+        w = None
+        for t, bw in boosts.items():
+            c = F.when(F.col("term") == t, F.lit(float(bw)))
+            w = c if w is None else w.when(F.col("term") == t, F.lit(float(bw)))
+        q = q.withColumn("idf", F.col("idf") * F.coalesce(w, F.lit(1.0)))
     n_terms = len(set(tokenize_py(query, unicode=corpus.unicode)))
     scored = (
         corpus.tf.join(F.broadcast(q), "term", "inner")

@@ -48,7 +48,8 @@ _EMPTY = pd.DataFrame(
 
 def _shard_search(
     seg_pdf: pd.DataFrame,
-    queries: list[tuple[list[str], str, int, list[str], int, tuple | None]],
+    queries: list[tuple[list[str], str, int, list[str], int, tuple | None,
+                        dict | None]],
     idf_map: dict,
     k: int | None,
     avgdl: float,
@@ -141,7 +142,7 @@ def _shard_search(
     # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
     # normal shape of real traffic — one Spark job serves it)
     for qid, (terms, mode, near_window, excl_terms, min_match,
-              after) in enumerate(queries):
+              after, boosts) in enumerate(queries):
         positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct
@@ -150,8 +151,15 @@ def _shard_search(
         idx_of: dict[str, list[int]] = {}
         for t in distinct:
             if t in postings:
-                idx_of[t] = list(range(len(tp), len(tp) + len(postings[t])))
-                tp.extend(postings[t])
+                plist = postings[t]
+                # per-term boost (term^w): boosted VIEWS share the
+                # parent's decode caches, so blocks decode once per
+                # shard however many queries boost this term
+                w = boosts.get(t, 1.0) if boosts else 1.0
+                if w != 1.0:
+                    plist = [p.boosted(w) for p in plist]
+                idx_of[t] = list(range(len(tp), len(tp) + len(plist)))
+                tp.extend(plist)
         if not tp:
             continue
         phrase = None
@@ -385,6 +393,7 @@ def search_topk(
     min_match: int = 0,
     expand_prefixes: bool = False,
     after: tuple[float, int] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
@@ -461,10 +470,18 @@ def search_topk(
     recomputation). Composes with every mode/filter; per-query via the
     dict key 'after'.
 
+    boosts: per-term query boosts (Lucene's term^w) — {term: weight},
+    each weight > 0; a boosted term's BM25 contribution is multiplied by
+    its weight (and the WAND block upper bounds scale with it, so
+    pruning stays exact). Keys must tokenize to single index tokens and
+    appear among the query's terms (post-expansion) — a stray key is an
+    error, not a silent no-op. Composes with every mode; per-query via
+    the dict key 'boosts'.
+
     Per-query dict specs may set any of {text, mode, near_window,
-    exclude, min_match, prefix, after}; unset keys inherit the
+    exclude, min_match, prefix, after, boosts}; unset keys inherit the
     call-level arguments, so a mixed batch (phrase + NOT + prefix +
-    plain + page-2) is still ONE Spark job."""
+    plain + page-2 + boosted) is still ONE Spark job."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -487,12 +504,27 @@ def search_topk(
         s, d = a
         return (float(s), int(d))
 
+    def _norm_boosts(bo) -> dict[str, float] | None:
+        if not bo:
+            return None
+        out = {}
+        for key, w in bo.items():
+            w = float(w)
+            if not w > 0:
+                raise ValueError(
+                    f"boost weight for {key!r} must be > 0 (got {w}): "
+                    "block-max pruning scales its bounds by the boost, "
+                    "which is only an upper bound for positive weights")
+            out[key] = w
+        return out
+
     specs: list[tuple[str, str, int, str | None, int, bool,
-                      tuple[float, int] | None]] = []
+                      tuple[float, int] | None, dict[str, float] | None]] = []
     for q in queries:
         if isinstance(q, str):
             specs.append((q, mode, near_window, exclude, min_match,
-                          expand_prefixes, _norm_after(after)))
+                          expand_prefixes, _norm_after(after),
+                          _norm_boosts(boosts)))
         elif isinstance(q, dict):
             q_mode = q.get("mode") or mode
             specs.append((
@@ -502,6 +534,7 @@ def search_topk(
                 int(q.get("min_match", min_match)),
                 bool(q.get("prefix", expand_prefixes)),
                 _norm_after(q.get("after", after)),
+                _norm_boosts(q.get("boosts", boosts)),
             ))
         else:
             parts = tuple(q)
@@ -509,11 +542,12 @@ def search_topk(
             q_nw = (int(parts[2]) if len(parts) > 2 and parts[2] is not None
                     else near_window)
             specs.append((parts[0], q_mode, q_nw, exclude, min_match,
-                          expand_prefixes, _norm_after(after)))
+                          expand_prefixes, _norm_after(after),
+                          _norm_boosts(boosts)))
     bad = sorted({s[1] for s in specs if s[1] not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    for _, m, _, _, mm, pf, _ in specs:
+    for _, m, _, _, mm, pf, _, _ in specs:
         if mm and m != "any":
             raise ValueError(
                 "min_match applies to mode='any' only (mode='all' IS "
@@ -539,7 +573,7 @@ def search_topk(
     uni = bool(meta.get("unicode", False))
     cache = idf_cache if idf_cache is not None else {}
     q_specs: list[list] = []
-    for text, m, nw, ex, mm, pf, af in specs:
+    for text, m, nw, ex, mm, pf, af, bo in specs:
         ex_terms = sorted(set(tokenize_py(ex, unicode=uni))) if ex else []
         if m in POSITIONAL_MODES:
             toks = tokenize_py(text, unicode=uni)
@@ -547,7 +581,18 @@ def search_topk(
             toks = ("*", *_parse_prefix_terms(text, uni))  # resolved below
         else:
             toks = sorted(set(tokenize_py(text, unicode=uni)))
-        q_specs.append([toks, m, nw, ex_terms, mm, af])
+        if bo:
+            # boost keys tokenize with the SAME pinned index mode
+            norm_bo: dict[str, float] = {}
+            for key, w in bo.items():
+                ts = tokenize_py(key, unicode=uni)
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"boost key {key!r} must reduce to exactly one "
+                        "index token")
+                norm_bo[ts[0]] = w
+            bo = norm_bo
+        q_specs.append([toks, m, nw, ex_terms, mm, af, bo])
     need_stems = sorted({s for qs in q_specs if isinstance(qs[0], tuple)
                          for s in qs[0][2]})
     need_fuzz = sorted({f for qs in q_specs if isinstance(qs[0], tuple)
@@ -563,6 +608,16 @@ def search_topk(
                 qs[0] = sorted(set(plains)
                                | {t for s in stems for t in exp[s]}
                                | {t for f in fuzz for t in fexp[f]})
+    # boost keys must name actual query terms (post-expansion; corpus-
+    # absent query terms still count — the boost is then a no-op, but
+    # the user DID type that term). A stray key is a typo, not a no-op.
+    for qs in q_specs:
+        if qs[6]:
+            stray = sorted(set(qs[6]) - set(qs[0]))
+            if stray:
+                raise ValueError(
+                    f"boost keys {stray} are not terms of their query "
+                    f"(terms: {sorted(set(qs[0]))})")
     q_specs = [tuple(qs) for qs in q_specs]
     all_terms = sorted({t for ts, *_ in q_specs for t in ts})
     if not all_terms:
