@@ -246,6 +246,57 @@ def _q_bm25_search_after(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+MLT_DOC_ID = 42
+MLT_MAX_TERMS = 10
+
+
+def _q_more_like_this(spark, sf_dir):
+    """More-like-this: doc 42's top-10 tf·idf "interesting terms" (weight
+    rounded to 6dp, ties by term ASC — reproducible selection) become a
+    bag-of-words query; the source doc is excluded from the result.
+    Oracle: the same selection as a SQL window + BM25 over the selected
+    terms with doc 42 result-excluded."""
+    eng = _engine(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    text = docs.filter(F.col("doc_id") == MLT_DOC_ID).collect()[0]["text"]
+    res = eng.more_like_this(text, k=K, max_terms=MLT_MAX_TERMS,
+                             source_doc_id=MLT_DOC_ID)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _mlt_sql(doc_id: int = MLT_DOC_ID, max_terms: int = MLT_MAX_TERMS,
+             k: int = K) -> str:
+    """Twin of Engine.more_like_this: term selection (tf·idf, ROUND 6dp,
+    term-ASC ties) in a window, then the standard BM25 top-k over the
+    selected terms, with the source doc excluded from the RESULT only
+    (frozen stats, like deletes)."""
+    return (
+        BM25_CTES
+        + f""",
+mlt AS (
+  SELECT term, ROUND(tfx.tf * LN((N - df + 0.5) / (df + 0.5) + 1.0), 6) AS w
+  FROM tfx JOIN dfs USING (term) CROSS JOIN stats
+  WHERE tfx.doc_id = {doc_id}
+),
+q AS (SELECT term FROM mlt ORDER BY w DESC, term ASC LIMIT {max_terms}),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  CROSS JOIN stats
+  WHERE tfx.doc_id <> {doc_id}
+  GROUP BY tfx.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
 NEAR_QUERY = "table hash"
 NEAR_WINDOW = 4
 
@@ -660,6 +711,8 @@ def _q_exact_dups(spark, sf_dir):
 
 
 def _q_exact_dedup_count(spark, sf_dir):
+    """Kept for bench.py cross-round comparability (consolidated out of
+    queries() in r5 — n_kept is derivable from exact_dup_groups)."""
     kept = dedup.exact_dedup(_docs(spark, sf_dir))
     return kept.agg(F.count(F.lit(1)).alias("n_kept"))
 
@@ -1013,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_conjunctive": _q_bm25_conjunctive,
         "bm25_search_after": _q_bm25_search_after,
+        "more_like_this": _q_more_like_this,
         "bm25_topk_phrase": _q_bm25_phrase,
         "bm25_topk_near": _q_bm25_near,
         "bm25_topk_near_unordered": _q_bm25_near_unordered,
@@ -1025,7 +1079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_term": _q_topk_per_term,
         # dedup family
         "exact_dup_groups": _q_exact_dups,
-        "exact_dedup_count": _q_exact_dedup_count,
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs_small": _q_jaccard_small,
@@ -1511,6 +1564,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         # global ordering — the cursor path is rank-identical, at page-1
         # cost (the engine never materializes N·k rows per shard)
         "bm25_search_after": _bm25_sql(HOT_QUERY, offset=K),
+        "more_like_this": _mlt_sql(),
         "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
         "bm25_topk_near": _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW),
         "bm25_topk_near_unordered": _bm25_near_unordered_sql(
@@ -1542,10 +1596,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
                        FROM documents)
             SELECT content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
             FROM h GROUP BY content_hash HAVING count(*) > 1""",
-        "exact_dedup_count": f"""
-            WITH h AS (SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS content_hash
-                       FROM documents)
-            SELECT count(DISTINCT content_hash) AS n_kept FROM h""",
+
         "minhash_signatures": f"""
             WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 20),
             shing AS (SELECT doc_id, {SHINGLES} AS sh FROM tok)

@@ -170,6 +170,8 @@ def main() -> None:
     # knn_bruteforce was consolidated into knn_multi_metric in r5; the
     # bench key keeps timing the SAME single-metric cosine plan
     qs["knn_bruteforce"] = entrymod._q_knn_bruteforce
+    # exact_dedup_count was consolidated out of queries() in r5; same plan
+    qs["exact_dedup_count"] = entrymod._q_exact_dedup_count
     for name in ("bm25_topk_hot", "exact_dedup_count", "minhash_lsh_pairs",
                  "text_stats", "knn_bruteforce", "tpch_q1", "events_sessions"):
         timed(f"q_{name}", lambda n=name: qs[n](spark, SF_DIR).collect())

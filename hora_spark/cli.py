@@ -102,6 +102,24 @@ def main(argv: list[str] | None = None) -> int:
                         "ALL matching docs, grouped by COLUMN of the "
                         "docs table at PARQUET (first column = doc id)")
 
+    ml = sub.add_parser("mlt", help="more-like-this: find docs similar "
+                                    "to a source text or doc")
+    ml.add_argument("--index", required=True)
+    g_src = ml.add_mutually_exclusive_group(required=True)
+    g_src.add_argument("--text", help="source text to find similar docs for")
+    g_src.add_argument("--doc-id", type=int,
+                       help="source doc id in --input (excluded from "
+                            "the result)")
+    ml.add_argument("--input", default=None,
+                    help="docs parquet (needed with --doc-id; first use "
+                         "of its id/text columns)")
+    ml.add_argument("--id-col", default="doc_id")
+    ml.add_argument("--text-col", default="text")
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=10,
+                    help="how many top tf*idf terms of the source form "
+                         "the query")
+
     rt = sub.add_parser("route", help="reverse search: standing queries "
                                       "score the input docs with the "
                                       "index's frozen stats")
@@ -215,6 +233,28 @@ def main(argv: list[str] | None = None) -> int:
             for r in res.collect():
                 print(json.dumps({"query": args.query[r["query_id"]],
                                   "doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.cmd == "mlt":
+        from pyspark.sql import functions as F
+
+        eng = Engine(spark, args.index)
+        if args.doc_id is not None:
+            if not args.input:
+                p.error("--doc-id requires --input")
+            docs = spark.read.parquet(args.input)
+            row = (docs.filter(F.col(args.id_col) == args.doc_id)
+                   .select(args.text_col).limit(1).collect())
+            if not row:
+                print(f"ERROR: doc_id {args.doc_id} not found in "
+                      f"{args.input}", file=sys.stderr)
+                return 1
+            res = eng.more_like_this(row[0][0], k=args.k,
+                                     max_terms=args.max_terms,
+                                     source_doc_id=args.doc_id)
+        else:
+            res = eng.more_like_this(args.text, k=args.k,
+                                     max_terms=args.max_terms)
+        for r in res.collect():
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
     elif args.cmd == "route":
         eng = Engine(spark, args.index)
         ids = args.id_cols.split(",")

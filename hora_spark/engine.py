@@ -120,6 +120,35 @@ class Engine:
             expand_prefixes=expand_prefixes, after=after, boosts=boosts,
         )
 
+    def more_like_this(self, text: str, k: int | None = None,
+                       max_terms: int = 10, min_term_freq: int = 1,
+                       source_doc_id: int | None = None,
+                       version: int | None = None, **kw) -> DataFrame:
+        """Find docs similar to `text` (Elasticsearch MLT, simplified):
+        select the source's top max_terms "interesting" terms by
+        tf·idf (weight rounded to 6 decimals, ties by term ASC — a
+        reproducible selection), then run a standard bag-of-words
+        search with them. source_doc_id: exclude the source doc itself
+        from the result (still k rows). kw = any search option
+        (mode, prune, boosts, ...)."""
+        from pyspark.sql import functions as F
+
+        v = self.store.current_version() if version is None else version
+        cache = self._idf_caches.setdefault(v, {})
+        terms = _query.mlt_select_terms(
+            self.store, text, max_terms=max_terms,
+            min_term_freq=min_term_freq, version=version, idf_cache=cache)
+        kk = k or self.cfg.k_default
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        res = self.search(
+            " ".join(terms), version=version,
+            k=kk + (1 if source_doc_id is not None else 0), **kw)
+        if source_doc_id is not None:
+            res = (res.filter(F.col("doc_id") != int(source_doc_id))
+                   .orderBy(F.desc("score"), F.asc("doc_id")).limit(kk))
+        return res
+
     def matches(self, queries: list, version: int | None = None,
                 filter_df: DataFrame | None = None, mode: str = "any",
                 near_window: int = 5, exclude: str | None = None,

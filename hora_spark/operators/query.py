@@ -797,6 +797,49 @@ def facet_counts(
     )
 
 
+def mlt_select_terms(
+    store: SnapshotStore,
+    text: str,
+    max_terms: int = 10,
+    min_term_freq: int = 1,
+    version: int | None = None,
+    idf_cache: dict | None = None,
+) -> list[str]:
+    """More-like-this term selection (Elasticsearch MLT semantics,
+    simplified): tokenize the source text with the index's pinned mode,
+    weight each distinct term by tf_in_source · idf (the classic
+    "interesting terms" heuristic), and keep the top max_terms by
+    (weight DESC, term ASC). The weight is ROUNDED to 6 decimals before
+    ranking so the selection is reproducible across engines (the SQL
+    oracle ranks the same rounded weight — ln() may differ in the last
+    ulp between libms). One pushed-down stats lookup, query-sized;
+    corpus-absent source terms can never be selected (no idf)."""
+    meta = store.meta(version)
+    if "avgdl" not in meta:
+        raise FileNotFoundError(
+            f"no built index at {store.root!r}: run build first")
+    uni = bool(meta.get("unicode", False))
+    toks = tokenize_py(text, unicode=uni)
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    cand = sorted(t for t, n in tf.items() if n >= min_term_freq)
+    if not cand:
+        return []
+    cache = idf_cache if idf_cache is not None else {}
+    missing = [t for t in cand if t not in cache]
+    if missing:
+        stats = store.read("stats", version).filter(F.col("term").isin(missing))
+        found = {r["term"]: float(r["idf"])
+                 for r in stats.select("term", "idf").collect()}
+        for t in missing:
+            cache[t] = found.get(t)
+    weighted = [(round(tf[t] * cache[t], 6), t) for t in cand
+                if cache[t] is not None]
+    weighted.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in weighted[:max_terms]]
+
+
 def search_with_text(
     spark: SparkSession,
     store: SnapshotStore,

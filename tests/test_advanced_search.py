@@ -306,3 +306,52 @@ def test_mixed_batch_with_advanced_specs(spark, setup):
     ]
     for qid, want in enumerate(singles):
         assert by_q[qid] == want, qid
+
+
+# -------------------------------------------------------- more-like-this --
+
+def test_more_like_this_matches_python_selection(spark, setup):
+    """MLT term selection recomputed in pure Python (tf·idf over the
+    corpus tf table), then the result checked against the brute-force
+    oracle over those terms with the source doc excluded."""
+    import math
+
+    eng, corpus = setup
+    src = corpus.tf.select("doc_id").distinct().orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    text = None
+    # reconstruct the source text from the engine's own docs store is
+    # overkill — use a real transcript line via the tf table instead:
+    # build a synthetic source from the doc's terms, repeated tf times,
+    # so tokenize_py(text) reproduces the doc's term frequencies.
+    doc_tf = {r["term"]: r["tf"] for r in
+              corpus.tf.filter(F.col("doc_id") == src).collect()}
+    text = " ".join(t for t, n in sorted(doc_tf.items()) for _ in range(n))
+
+    # independent python recount of df/idf over the whole corpus
+    docs_terms = _tok_docs(corpus)
+    n_docs = len(docs_terms)
+    df_counts = collections.Counter(
+        t for terms in docs_terms.values() for t in set(terms))
+    max_terms = 10
+    weighted = []
+    for t, n in doc_tf.items():
+        idf = math.log((n_docs - df_counts[t] + 0.5) / (df_counts[t] + 0.5) + 1.0)
+        weighted.append((round(n * idf, 6), t))
+    weighted.sort(key=lambda x: (-x[0], x[1]))
+    sel = sorted(t for _, t in weighted[:max_terms])
+
+    from hora_spark.operators.query import mlt_select_terms
+    got = sorted(mlt_select_terms(eng.store, text, max_terms=max_terms))
+    assert got == sel
+
+    res = rows(eng.more_like_this(text, k=K, max_terms=max_terms,
+                                  source_doc_id=src))
+    want = rows(bruteforce_topk(spark, corpus, " ".join(sel), k=K + 1))
+    want = [p for p in want if p[0] != src][:K]
+    assert res == want
+    assert all(d != src for d, _ in res)
+
+
+def test_more_like_this_unknown_text_empty(spark, setup):
+    eng, _ = setup
+    assert eng.more_like_this("zzzqqq xxxyyy", k=5).count() == 0

@@ -107,6 +107,14 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(["route", "--index", idx4, "--input", out,
                      "-q", "the of", "--min-score", "1.0",
                      "--id-cols", "conv_id,turn_idx"]) == 0
+    # more-like-this: raw text source, then a doc-id source with exclusion
+    assert cli.main(["mlt", "--index", idx, "--text", "the of water table",
+                     "-k", "5"]) == 0
+    mlt_docs = str(tmp_path / "docs_mlt")
+    spark.read.parquet(out).selectExpr(
+        "cast(turn_idx as long) as doc_id", "text").write.parquet(mlt_docs)
+    assert cli.main(["mlt", "--index", idx, "--doc-id", "1",
+                     "--input", mlt_docs, "-k", "5"]) == 0
 
 
 def test_idf_cache_identical_results(spark, tmp_path):
