@@ -120,6 +120,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="how many top tf*idf terms of the source form "
                          "the query")
 
+    ex = sub.add_parser("explain", help="score breakdown (Lucene Explanation "
+                                        "analog): per-(doc, term) BM25 "
+                                        "components for a query")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("-q", "--query", required=True)
+    ex.add_argument("--ids", default=None,
+                    help="comma-separated doc ids to explain; omit to "
+                         "explain the query's own top-k")
+    ex.add_argument("-k", type=int, default=10,
+                    help="top-k to explain when --ids is omitted")
+
     rt = sub.add_parser("route", help="reverse search: standing queries "
                                       "score the input docs with the "
                                       "index's frozen stats")
@@ -255,6 +266,15 @@ def main(argv: list[str] | None = None) -> int:
                                      max_terms=args.max_terms)
         for r in res.collect():
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.cmd == "explain":
+        eng = Engine(spark, args.index)
+        ids = ([int(x) for x in args.ids.split(",") if x.strip()]
+               if args.ids else None)
+        res = eng.explain(args.query, doc_ids=ids, k=args.k)
+        for r in res.collect():
+            print(json.dumps({"doc_id": r["doc_id"], "term": r["term"],
+                              "tf": r["tf"], "dl": r["dl"], "idf": r["idf"],
+                              "contrib": r["contrib"], "score": r["score"]}))
     elif args.cmd == "route":
         eng = Engine(spark, args.index)
         ids = args.id_cols.split(",")

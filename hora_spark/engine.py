@@ -120,6 +120,25 @@ class Engine:
             expand_prefixes=expand_prefixes, after=after, boosts=boosts,
         )
 
+    def explain(self, query: str, doc_ids=None, k: int | None = None,
+                version: int | None = None) -> DataFrame:
+        """Score breakdown (Lucene `Explanation` / ES `_explain` analog):
+        DataFrame(doc_id, term, tf, dl, idf, contrib, score) — one row
+        per (doc, matched query term), contrib = that term's BM25
+        summand, score = the doc's total as `search` computes it.
+        doc_ids: explicit ids to explain; None = explain the query's own
+        top-k (k or cfg.k_default)."""
+        from hora_spark.operators.explain import explain_scores
+
+        v = self.store.current_version() if version is None else version
+        cache = self._idf_caches.setdefault(v, {})
+        if doc_ids is None:
+            top = self.search(query, k=k or self.cfg.k_default,
+                              version=version)
+            doc_ids = [r["doc_id"] for r in top.select("doc_id").collect()]
+        return explain_scores(self.spark, self.store, query, doc_ids,
+                              cfg=self.cfg, version=version, idf_cache=cache)
+
     def more_like_this(self, text: str, k: int | None = None,
                        max_terms: int = 10, min_term_freq: int = 1,
                        source_doc_id: int | None = None,

@@ -115,6 +115,11 @@ def test_cli_roundtrip(spark, tmp_path):
         "cast(turn_idx as long) as doc_id", "text").write.parquet(mlt_docs)
     assert cli.main(["mlt", "--index", idx, "--doc-id", "1",
                      "--input", mlt_docs, "-k", "5"]) == 0
+    # score explanation: top-k form, then explicit ids
+    assert cli.main(["explain", "--index", idx, "-q", "the of",
+                     "-k", "3"]) == 0
+    assert cli.main(["explain", "--index", idx, "-q", "the of",
+                     "--ids", "0,1,2"]) == 0
 
 
 def test_idf_cache_identical_results(spark, tmp_path):
