@@ -343,6 +343,42 @@ CROSS JOIN stats
     )
 
 
+SUGGEST_INPUTS = "joib hashh windo"  # misspellings of index vocabulary
+SUGGEST_N = 3
+
+
+def _q_spell_suggest(spark, sf_dir):
+    """Spell suggestion (ES term suggester): per misspelled token, the
+    top-3 dictionary corrections ranked (edit distance, df DESC, term) —
+    a total order, so hash-checkable. mode='missing' semantics are
+    mirrored by the oracle's NOT IN filter, so present/absent agreement
+    is verified too, not assumed."""
+    eng = _engine(spark, sf_dir)
+    return eng.suggest(SUGGEST_INPUTS, n=SUGGEST_N, max_distance=2,
+                       mode="missing")
+
+
+def _suggest_sql(inputs: list[str], n: int = SUGGEST_N) -> str:
+    vals = ", ".join(f"('{t}')" for t in inputs)
+    return (
+        BM25_CTES
+        + f""",
+qi(input) AS (VALUES {vals}),
+miss AS (SELECT input FROM qi WHERE input NOT IN (SELECT term FROM dfs)),
+cand AS (SELECT m.input, dfs.term AS suggestion,
+                CAST(levenshtein(m.input, dfs.term) AS INTEGER) AS distance, df
+         FROM miss m, dfs
+         WHERE levenshtein(m.input, dfs.term) <= 2 AND dfs.term <> m.input)
+SELECT input, suggestion, distance, df, rnk FROM (
+  SELECT cand.*, CAST(row_number() OVER (
+           PARTITION BY input
+           ORDER BY distance, df DESC, suggestion) AS INTEGER) AS rnk
+  FROM cand)
+WHERE rnk <= {n}
+"""
+    )
+
+
 NEAR_QUERY = "table hash"
 NEAR_WINDOW = 4
 
@@ -763,15 +799,6 @@ def _q_exact_dedup_count(spark, sf_dir):
     return kept.agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-def _q_minhash_sig(spark, sf_dir):
-    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
-    sig = dedup.minhash_signature_col(F.col("text"), n_hashes=4)
-    return df.select(
-        "doc_id",
-        sig[0].alias("mh0"), sig[1].alias("mh1"), sig[2].alias("mh2"), sig[3].alias("mh3"),
-    )
-
-
 def _q_minhash_lsh_pairs(spark, sf_dir):
     df = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     pairs = dedup.minhash_lsh_candidates(df, n_hashes=8, bands=4, max_bucket=1000)
@@ -801,14 +828,18 @@ def _q_jaccard_small(spark, sf_dir):
 
 
 def _q_doc_signatures(spark, sf_dir):
-    """simhash + min-shingle fingerprint in ONE per-doc pass (consolidated
-    from the separate r3/r4 simhash_values + fingerprints entries so all
-    driver queries fit the recorded 50-row window; both kernels keep a
-    hash-checked row, now over the FULL table instead of a 50-doc cap)."""
+    """simhash + min-shingle fingerprint + 4-salt minhash signature in ONE
+    per-doc pass (consolidated from the separate r3/r4 simhash_values +
+    fingerprints + minhash_signatures entries so all driver queries fit
+    the recorded 50-row window; every signature kernel keeps a
+    hash-checked row, now over the FULL table instead of 50/20-doc caps)."""
+    sig = dedup.minhash_signature_col(F.col("text"), n_hashes=4)
     return _docs(spark, sf_dir).select(
         "doc_id",
         dedup.simhash_col(F.col("text")).alias("simhash"),
         textstats.fingerprint_col(F.col("text")).alias("fingerprint"),
+        sig[0].alias("mh0"), sig[1].alias("mh1"),
+        sig[2].alias("mh2"), sig[3].alias("mh3"),
     )
 
 
@@ -1115,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": _q_bm25_search_after,
         "more_like_this": _q_more_like_this,
         "score_explain": _q_score_explain,
+        "spell_suggest": _q_spell_suggest,
         "bm25_topk_phrase": _q_bm25_phrase,
         "bm25_topk_near": _q_bm25_near,
         "bm25_topk_near_unordered": _q_bm25_near_unordered,
@@ -1127,7 +1159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_term": _q_topk_per_term,
         # dedup family
         "exact_dup_groups": _q_exact_dups,
-        "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs_small": _q_jaccard_small,
         "training_pipeline": _q_training_pipeline,
@@ -1375,8 +1406,8 @@ SHINGLES = (
 )
 
 
-def _minhash_expr(i: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+def _minhash_expr(i: int, var: str = "s") -> str:
+    return f"list_min(list_transform(sh, {var} -> md5('{i}:' || {var})))"
 
 
 _LSH_N, _LSH_BANDS = 8, 4
@@ -1613,6 +1644,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "bm25_search_after": _bm25_sql(HOT_QUERY, offset=K),
         "more_like_this": _mlt_sql(),
         "score_explain": _explain_sql(sorted(set(HOT_QUERY))),
+        "spell_suggest": _suggest_sql(sorted(SUGGEST_INPUTS.split())),
         "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
         "bm25_topk_near": _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW),
         "bm25_topk_near_unordered": _bm25_near_unordered_sql(
@@ -1645,24 +1677,21 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
             SELECT content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
             FROM h GROUP BY content_hash HAVING count(*) > 1""",
 
-        "minhash_signatures": f"""
-            WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 20),
-            shing AS (SELECT doc_id, {SHINGLES} AS sh FROM tok)
-            SELECT doc_id, {_minhash_expr(0)} AS mh0, {_minhash_expr(1)} AS mh1,
-                   {_minhash_expr(2)} AS mh2, {_minhash_expr(3)} AS mh3
-            FROM shing""",
         "minhash_lsh_pairs": _lsh_pairs_sql(),
-        # simhash + fingerprint share the tok CTE; lambda var renamed x
-        # (a CTE named s exists in the simhash prefix)
+        # simhash + fingerprint + minhash share the tok CTE; lambda vars
+        # renamed x/z (a CTE named s exists in the simhash prefix)
         "doc_signatures": _simhash_ctes(1 << 40)
         + f""",
             shing AS (SELECT doc_id, toks, {SHINGLES} AS sh FROM tok),
             fp AS (SELECT doc_id,
                           CASE WHEN len(toks) >= 3
                                THEN list_min(list_transform(sh, x -> md5(x)))
-                               ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+                               ELSE md5(array_to_string(toks, ' ')) END AS fingerprint,
+                          {_minhash_expr(0, 'z')} AS mh0, {_minhash_expr(1, 'z')} AS mh1,
+                          {_minhash_expr(2, 'z')} AS mh2, {_minhash_expr(3, 'z')} AS mh3
                    FROM shing)
-            SELECT s.doc_id, simhash, fingerprint FROM s JOIN fp USING (doc_id)""",
+            SELECT s.doc_id, simhash, fingerprint, mh0, mh1, mh2, mh3
+            FROM s JOIN fp USING (doc_id)""",
         "simhash_near_pairs": _simhash_ctes(300)
         + """,
             bands AS (SELECT doc_id, simhash AS sh, CAST(b.range AS INT) AS band,

@@ -131,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("-k", type=int, default=10,
                     help="top-k to explain when --ids is omitted")
 
+    sg = sub.add_parser("suggest", help="spell suggestion: closest "
+                                        "dictionary terms per query token "
+                                        "(distance, then df)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("-q", "--query", required=True)
+    sg.add_argument("-n", type=int, default=3)
+    sg.add_argument("--max-distance", type=int, default=2, choices=[1, 2])
+    sg.add_argument("--mode", default="missing",
+                    choices=["missing", "popular", "always"],
+                    help="'missing' = only tokens absent from the "
+                         "dictionary; 'popular' = only corrections with "
+                         "higher df; 'always' = rank for every token")
+
     rt = sub.add_parser("route", help="reverse search: standing queries "
                                       "score the input docs with the "
                                       "index's frozen stats")
@@ -275,6 +288,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"doc_id": r["doc_id"], "term": r["term"],
                               "tf": r["tf"], "dl": r["dl"], "idf": r["idf"],
                               "contrib": r["contrib"], "score": r["score"]}))
+    elif args.cmd == "suggest":
+        eng = Engine(spark, args.index)
+        res = eng.suggest(args.query, n=args.n,
+                          max_distance=args.max_distance, mode=args.mode)
+        for r in res.collect():
+            print(json.dumps({"input": r["input"],
+                              "suggestion": r["suggestion"],
+                              "distance": r["distance"], "df": r["df"],
+                              "rank": r["rnk"]}))
     elif args.cmd == "route":
         eng = Engine(spark, args.index)
         ids = args.id_cols.split(",")

@@ -139,6 +139,19 @@ class Engine:
         return explain_scores(self.spark, self.store, query, doc_ids,
                               cfg=self.cfg, version=version, idf_cache=cache)
 
+    def suggest(self, query: str, n: int = 3, max_distance: int = 2,
+                mode: str = "missing", version: int | None = None) -> DataFrame:
+        """Spell suggestion (ES term suggester / Lucene DirectSpellChecker
+        analog): up to n dictionary terms per query token, ranked
+        (edit distance ASC, df DESC, term ASC). mode: 'missing' (only
+        absent tokens), 'popular' (only higher-df corrections),
+        'always'."""
+        from hora_spark.operators.suggest import suggest_terms
+
+        return suggest_terms(self.spark, self.store, query, cfg=self.cfg,
+                             n=n, max_distance=max_distance, mode=mode,
+                             version=version)
+
     def more_like_this(self, text: str, k: int | None = None,
                        max_terms: int = 10, min_term_freq: int = 1,
                        source_doc_id: int | None = None,

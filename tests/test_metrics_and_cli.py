@@ -120,6 +120,10 @@ def test_cli_roundtrip(spark, tmp_path):
                      "-k", "3"]) == 0
     assert cli.main(["explain", "--index", idx, "-q", "the of",
                      "--ids", "0,1,2"]) == 0
+    # spell suggestion: missing-mode default, then always-mode
+    assert cli.main(["suggest", "--index", idx, "-q", "watr thhe"]) == 0
+    assert cli.main(["suggest", "--index", idx, "-q", "the",
+                     "--mode", "always", "-n", "2"]) == 0
 
 
 def test_idf_cache_identical_results(spark, tmp_path):
