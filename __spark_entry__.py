@@ -501,15 +501,18 @@ MIXED_BATCH = [
     {"text": "hash~ w00042~", "prefix": True},  # fuzzy: edit distance ≤ 1
     {"text": " ".join(HOT_QUERY),                # per-term boosts (term^w)
      "boosts": {"join": 2.5, "row": 0.5}},
+    {"text": "join",                             # query-time synonyms:
+     "synonyms": {"join": ["hash", "scan"],      # expanded, own idfs;
+                  "zzz": ["row"]}},              # non-matching key ignored
 ]
 
 
 def _q_search_mixed_batch(spark, sf_dir):
     """Mixed-mode batched search: bag-of-words + conjunctive + phrase +
     proximity + NOT terms + minimum_should_match + prefix expansion +
-    fuzzy expansion + per-term boosts in one job over the positional
-    index. Oracle: the union of the nine single-predicate SQL twins,
-    labeled by query_id."""
+    fuzzy expansion + per-term boosts + synonym expansion in one job
+    over the positional index. Oracle: the union of the ten
+    single-predicate SQL twins, labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -528,6 +531,9 @@ def _mixed_batch_sql(k: int = K) -> str:
         _bm25_sql(["join"], k, prefix_stems=["s"]),
         _bm25_sql([], k, fuzzy_specs=[("hash", 1), ("w00042", 1)]),
         _bm25_sql(HOT_QUERY, k, boosts={"join": 2.5, "row": 0.5}),
+        # synonym expansion == plain BM25 over the expanded term set
+        # ('zzz' matches no query token, so 'row' must NOT appear)
+        _bm25_sql(["join", "hash", "scan"], k),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"

@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-term boost (repeatable): multiply TERM's "
                         "BM25 contribution by W > 0 (Lucene's term^W); "
                         "applies to every -q in the invocation")
+    s.add_argument("--synonym", action="append", default=None,
+                   metavar="TERM=ALT[,ALT...]",
+                   help="query-time synonym (repeatable): query tokens "
+                        "equal to TERM also match the ALTs, each scored "
+                        "with its own idf; non-matching TERMs are "
+                        "ignored (pass the whole table)")
     s.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="deep-paging cursor (search_after): pass the "
                         "score,doc_id of the previous page's LAST row to "
@@ -247,13 +253,20 @@ def main(argv: list[str] | None = None) -> int:
                 for spec in args.boost:
                     t, _, w = spec.partition("=")
                     boosts[t] = float(w)
+            synonyms = None
+            if args.synonym:
+                synonyms = {}
+                for spec in args.synonym:
+                    t, _, alts = spec.partition("=")
+                    synonyms[t] = [a for a in alts.split(",") if a]
             res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
                                filter_df=fdf, mode=args.mode,
                                near_window=args.near_window,
                                exclude=args.exclude,
                                min_match=args.min_match,
                                expand_prefixes=args.prefix,
-                               after=after, boosts=boosts)
+                               after=after, boosts=boosts,
+                               synonyms=synonyms)
             for r in res.collect():
                 print(json.dumps({"query": args.query[r["query_id"]],
                                   "doc_id": r["doc_id"], "score": r["score"]}))

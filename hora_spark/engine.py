@@ -68,7 +68,8 @@ class Engine:
                near_window: int = 5, exclude: str | None = None,
                min_match: int = 0, expand_prefixes: bool = False,
                after: tuple[float, int] | None = None,
-               boosts: dict[str, float] | None = None) -> DataFrame:
+               boosts: dict[str, float] | None = None,
+               synonyms: dict[str, list] | None = None) -> DataFrame:
         """mode='all' gives conjunctive (AND) semantics — only docs
         matching every query term, scored with the same BM25 sums.
         mode='phrase' requires exact token adjacency, mode='near'
@@ -87,12 +88,17 @@ class Engine:
         deep-paging cursor — pass the last row of the previous page to
         get the next k results at page-1 cost (search_after, never
         OFFSET); boosts={'term': w} multiplies each named term's BM25
-        contribution by w > 0 (Lucene's term^w, pruning stays exact)."""
+        contribution by w > 0 (Lucene's term^w, pruning stays exact);
+        synonyms={'term': ['alt', ...]} expands matching query tokens
+        (ES query-time synonym filter as a scoring-boolean rewrite —
+        each expansion scores with its own idf; non-matching keys are
+        ignored, so pass the whole corpus-level table)."""
         return self.searches([query], k=k, prune=prune, version=version,
                              mode=mode, near_window=near_window,
                              exclude=exclude, min_match=min_match,
                              expand_prefixes=expand_prefixes,
-                             after=after, boosts=boosts).drop("query_id")
+                             after=after, boosts=boosts,
+                             synonyms=synonyms).drop("query_id")
 
     def searches(self, queries: list, k: int | None = None, prune: bool = True,
                  version: int | None = None, filter_df: DataFrame | None = None,
@@ -100,14 +106,15 @@ class Engine:
                  exclude: str | None = None, min_match: int = 0,
                  expand_prefixes: bool = False,
                  after: tuple[float, int] | None = None,
-                 boosts: dict[str, float] | None = None) -> DataFrame:
+                 boosts: dict[str, float] | None = None,
+                 synonyms: dict[str, list] | None = None) -> DataFrame:
         """Batched search: ONE Spark job for any number of queries.
         Each element of `queries` is a string (searched with the
         call-level options), a (text, mode) / (text, mode, near_window)
         tuple, or a dict with any of {text, mode, near_window, exclude,
-        min_match, prefix, after, boosts} — a mixed workload (phrase +
-        bag-of-words + NOT + prefix + page-2 cursors + boosted terms)
-        still runs as a single job."""
+        min_match, prefix, after, boosts, synonyms} — a mixed workload
+        (phrase + bag-of-words + NOT + prefix + page-2 cursors + boosted
+        terms + synonym expansion) still runs as a single job."""
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
         v = self.store.current_version() if version is None else version
@@ -118,6 +125,7 @@ class Engine:
             filter_df=filter_df, mode=mode, near_window=near_window,
             exclude=exclude, min_match=min_match,
             expand_prefixes=expand_prefixes, after=after, boosts=boosts,
+            synonyms=synonyms,
         )
 
     def explain(self, query: str, doc_ids=None, k: int | None = None,

@@ -394,6 +394,7 @@ def search_topk(
     expand_prefixes: bool = False,
     after: tuple[float, int] | None = None,
     boosts: dict[str, float] | None = None,
+    synonyms: dict[str, list] | None = None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
@@ -478,10 +479,24 @@ def search_topk(
     error, not a silent no-op. Composes with every mode; per-query via
     the dict key 'boosts'.
 
+    synonyms: query-time synonym table {term: [synonym, ...]} (the
+    Lucene/ES query-time synonym filter, in its scoring-boolean-rewrite
+    form): each query token that appears as a key is expanded to itself
+    plus its synonyms, and every expanded term scores with its OWN idf —
+    the same rewrite as prefix/fuzzy expansion. Keys that match no query
+    token are ignored (the table is corpus-level, passed whole; unlike
+    boosts, a non-matching key is expected, not a typo). Keys and
+    synonyms must each reduce to exactly ONE index token (multi-token
+    synonyms would need phrase semantics). mode='any' without min_match
+    or prefix parsing only — the count/position semantics of the other
+    modes are ambiguous over expanded groups. Per-query via the dict
+    key 'synonyms'.
+
     Per-query dict specs may set any of {text, mode, near_window,
-    exclude, min_match, prefix, after, boosts}; unset keys inherit the
-    call-level arguments, so a mixed batch (phrase + NOT + prefix +
-    plain + page-2 + boosted) is still ONE Spark job."""
+    exclude, min_match, prefix, after, boosts, synonyms}; unset keys
+    inherit the call-level arguments, so a mixed batch (phrase + NOT +
+    prefix + plain + page-2 + boosted + synonym-expanded) is still ONE
+    Spark job."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -518,13 +533,20 @@ def search_topk(
             out[key] = w
         return out
 
+    def _norm_syn(sy) -> dict[str, list] | None:
+        if not sy:
+            return None
+        return {key: ([vals] if isinstance(vals, str) else list(vals))
+                for key, vals in sy.items()}
+
     specs: list[tuple[str, str, int, str | None, int, bool,
-                      tuple[float, int] | None, dict[str, float] | None]] = []
+                      tuple[float, int] | None, dict[str, float] | None,
+                      dict[str, list] | None]] = []
     for q in queries:
         if isinstance(q, str):
             specs.append((q, mode, near_window, exclude, min_match,
                           expand_prefixes, _norm_after(after),
-                          _norm_boosts(boosts)))
+                          _norm_boosts(boosts), _norm_syn(synonyms)))
         elif isinstance(q, dict):
             q_mode = q.get("mode") or mode
             specs.append((
@@ -535,6 +557,7 @@ def search_topk(
                 bool(q.get("prefix", expand_prefixes)),
                 _norm_after(q.get("after", after)),
                 _norm_boosts(q.get("boosts", boosts)),
+                _norm_syn(q.get("synonyms", synonyms)),
             ))
         else:
             parts = tuple(q)
@@ -543,11 +566,11 @@ def search_topk(
                     else near_window)
             specs.append((parts[0], q_mode, q_nw, exclude, min_match,
                           expand_prefixes, _norm_after(after),
-                          _norm_boosts(boosts)))
+                          _norm_boosts(boosts), _norm_syn(synonyms)))
     bad = sorted({s[1] for s in specs if s[1] not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    for _, m, _, _, mm, pf, _, _ in specs:
+    for _, m, _, _, mm, pf, _, _, sy in specs:
         if mm and m != "any":
             raise ValueError(
                 "min_match applies to mode='any' only (mode='all' IS "
@@ -559,6 +582,11 @@ def search_topk(
             raise ValueError(
                 "min_match over prefix/fuzzy expansions is ambiguous (one "
                 "stem can satisfy many clauses) — use one or the other")
+        if sy and (m != "any" or mm or pf):
+            raise ValueError(
+                "synonyms apply to plain mode='any' queries only (their "
+                "count/position semantics over expanded groups are "
+                "ambiguous in min_match/prefix/positional modes)")
     any_positional = any(s[1] in POSITIONAL_MODES for s in specs)
     if any_positional and not bool(meta.get("store_positions", False)):
         raise ValueError(
@@ -573,7 +601,7 @@ def search_topk(
     uni = bool(meta.get("unicode", False))
     cache = idf_cache if idf_cache is not None else {}
     q_specs: list[list] = []
-    for text, m, nw, ex, mm, pf, af, bo in specs:
+    for text, m, nw, ex, mm, pf, af, bo, sy in specs:
         ex_terms = sorted(set(tokenize_py(ex, unicode=uni))) if ex else []
         if m in POSITIONAL_MODES:
             toks = tokenize_py(text, unicode=uni)
@@ -581,6 +609,27 @@ def search_topk(
             toks = ("*", *_parse_prefix_terms(text, uni))  # resolved below
         else:
             toks = sorted(set(tokenize_py(text, unicode=uni)))
+        if sy:
+            # synonym keys/values tokenize with the SAME pinned index mode
+            norm_sy: dict[str, list[str]] = {}
+            for key, vals in sy.items():
+                ks = tokenize_py(key, unicode=uni)
+                if len(ks) != 1:
+                    raise ValueError(
+                        f"synonym key {key!r} must reduce to exactly one "
+                        "index token")
+                one = []
+                for v in vals:
+                    vs = tokenize_py(v, unicode=uni)
+                    if len(vs) != 1:
+                        raise ValueError(
+                            f"synonym {v!r} for {key!r} must reduce to "
+                            "exactly one index token (multi-token synonyms "
+                            "would need phrase semantics)")
+                    one.append(vs[0])
+                norm_sy[ks[0]] = one
+            toks = sorted(set(toks)
+                          | {s for t in toks for s in norm_sy.get(t, ())})
         if bo:
             # boost keys tokenize with the SAME pinned index mode
             norm_bo: dict[str, float] = {}

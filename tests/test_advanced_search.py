@@ -355,3 +355,67 @@ def test_more_like_this_matches_python_selection(spark, setup):
 def test_more_like_this_unknown_text_empty(spark, setup):
     eng, _ = setup
     assert eng.more_like_this("zzzqqq xxxyyy", k=5).count() == 0
+
+
+# ------------------------------------------------------------- synonyms --
+
+def test_synonyms_equal_expanded_query(spark, setup):
+    """Synonym expansion == plain search over the expanded term set (the
+    scoring-boolean rewrite), checked against the brute-force oracle."""
+    eng, corpus = setup
+    res = rows(eng.search("water", k=K,
+                          synonyms={"water": ["people", "time"]}))
+    want = rows(bruteforce_topk(spark, corpus, "water people time", k=K))
+    assert res == want
+
+
+def test_synonyms_nonmatching_key_ignored(spark, setup):
+    eng, corpus = setup
+    base = rows(eng.search("water people", k=K))
+    with_table = rows(eng.search(
+        "water people", k=K,
+        synonyms={"zzzqqq": ["the"], "absent": ["of"]}))
+    assert with_table == base
+
+
+def test_synonyms_per_query_spec_and_batch(spark, setup):
+    """A synonym spec rides the batch next to a plain query — one job."""
+    eng, corpus = setup
+    res = eng.searches([
+        {"text": "water", "synonyms": {"water": ["people"]}},
+        "time",
+    ], k=K)
+    got0 = [(r["doc_id"], round(r["score"], 9))
+            for r in res.filter(F.col("query_id") == 0).collect()]
+    got1 = [(r["doc_id"], round(r["score"], 9))
+            for r in res.filter(F.col("query_id") == 1).collect()]
+    assert got0 == rows(bruteforce_topk(spark, corpus, "water people", k=K))
+    assert got1 == rows(bruteforce_topk(spark, corpus, "time", k=K))
+
+
+def test_synonyms_compose_with_exclude_and_boosts(spark, setup):
+    eng, corpus = setup
+    # exclude applies after expansion, scores unchanged
+    res = rows(eng.search("water", k=K, exclude="the",
+                          synonyms={"water": ["people"]}))
+    want = rows(bruteforce_topk(spark, corpus, "water people", k=2 * K,
+                                exclude="the"))[:K]
+    assert res == want
+    # a synonym-added term can be boosted (it IS a query term post-expansion)
+    boosted = eng.search("water", k=K, synonyms={"water": ["people"]},
+                         boosts={"people": 2.0})
+    assert boosted.count() > 0
+
+
+def test_synonyms_errors(spark, setup):
+    eng, _ = setup
+    with pytest.raises(ValueError, match="exactly one index token"):
+        eng.search("water", synonyms={"water": ["two words"]}).collect()
+    with pytest.raises(ValueError, match="exactly one index token"):
+        eng.search("water", synonyms={"a b": ["people"]}).collect()
+    with pytest.raises(ValueError, match="mode='any'"):
+        eng.search("water people", mode="all",
+                   synonyms={"water": ["time"]}).collect()
+    with pytest.raises(ValueError, match="mode='any'"):
+        eng.search("water", min_match=1,
+                   synonyms={"water": ["time"]}).collect()

@@ -124,6 +124,10 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(["suggest", "--index", idx, "-q", "watr thhe"]) == 0
     assert cli.main(["suggest", "--index", idx, "-q", "the",
                      "--mode", "always", "-n", "2"]) == 0
+    # query-time synonyms (repeatable table entries; non-matching ignored)
+    assert cli.main(["search", "--index", idx, "-q", "water", "-k", "5",
+                     "--synonym", "water=people,time",
+                     "--synonym", "zzz=the"]) == 0
 
 
 def test_idf_cache_identical_results(spark, tmp_path):
