@@ -579,10 +579,16 @@ FACET_QUERIES = [" ".join(RARE_QUERY), " ".join(MIX_QUERY)]
 def _q_facet_lang(spark, sf_dir):
     """Facet panel (Engine.facets): counts of ALL matching docs per
     (query, lang) — match enumeration joined to a docs-table column,
-    then a map-side-combined count per (query_id, facet value)."""
+    then a map-side-combined count per (query_id, facet value) — plus
+    per-bucket stats (ES stats sub-aggregation, r5): avg/max of the
+    docs-table n_chars column and of the match's BM25 score."""
     eng = _engine(spark, sf_dir)
-    res = eng.facets(FACET_QUERIES, _docs(spark, sf_dir), "lang")
-    return res.select("query_id", "facet", "n_docs")
+    res = eng.facets(FACET_QUERIES, _docs(spark, sf_dir), "lang",
+                     metrics={"n_chars": ["avg", "max"],
+                              "score": ["avg", "max"]})
+    return res.select("query_id", "facet", "n_docs",
+                      "n_chars_avg", "n_chars_max",
+                      "score_avg", "score_max")
 
 
 def _facet_sql() -> str:
@@ -590,8 +596,16 @@ def _facet_sql() -> str:
     for qi, q in enumerate(FACET_QUERIES):
         vals = ", ".join(f"'{t}'" for t in sorted(set(q.split())))
         parts.append(
-            f"""SELECT {qi} AS query_id, d.lang AS facet, count(*) AS n_docs
-FROM (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({vals})) m
+            f"""SELECT {qi} AS query_id, d.lang AS facet, count(*) AS n_docs,
+       ROUND(avg(d.n_chars), 6) AS n_chars_avg, max(d.n_chars) AS n_chars_max,
+       ROUND(avg(m.s), 6) AS score_avg, ROUND(max(m.s), 6) AS score_max
+FROM (SELECT tfx.doc_id,
+             sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+                  * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+      FROM tfx JOIN docs USING (doc_id) JOIN dfs USING (term)
+      CROSS JOIN stats
+      WHERE term IN ({vals})
+      GROUP BY tfx.doc_id) m
 JOIN documents d USING (doc_id)
 GROUP BY d.lang"""
         )

@@ -107,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="instead of top-k rows, print facet counts over "
                         "ALL matching docs, grouped by COLUMN of the "
                         "docs table at PARQUET (first column = doc id)")
+    s.add_argument("--facet-metric", action="append", default=None,
+                   metavar="COL=AGG[,AGG...]",
+                   help="with --facet-by: add per-bucket stats of a "
+                        "numeric docs column (aggs: avg,min,max,sum; "
+                        "COL 'score' = the match's BM25 score)")
 
     ml = sub.add_parser("mlt", help="more-like-this: find docs similar "
                                     "to a source text or doc")
@@ -233,15 +238,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.facet_by:
             path, _, col = args.facet_by.rpartition(":")
             docs = spark.read.parquet(path)
+            metrics = None
+            if args.facet_metric:
+                metrics = {}
+                for spec in args.facet_metric:
+                    c, _, fns = spec.partition("=")
+                    metrics[c] = [a for a in fns.split(",") if a]
             res = eng.facets(args.query, docs, col, id_col=docs.columns[0],
+                             metrics=metrics,
                              filter_df=fdf, mode=args.mode,
                              near_window=args.near_window,
                              exclude=args.exclude, min_match=args.min_match,
                              expand_prefixes=args.prefix)
+            stat_cols = [c for c in res.columns
+                         if c not in ("query_id", "facet")]
             for r in res.orderBy("query_id", "facet").collect():
                 print(json.dumps({"query": args.query[r["query_id"]],
                                   "facet": r["facet"],
-                                  "n_docs": r["n_docs"]}))
+                                  **{c: r[c] for c in stat_cols}}))
         else:
             after = None
             if args.after:

@@ -206,15 +206,20 @@ class Engine:
         )
 
     def facets(self, queries: list, docs_df: DataFrame, facet_col: str,
-               id_col: str = "doc_id", **kw) -> DataFrame:
+               id_col: str = "doc_id", metrics: dict[str, list] | None = None,
+               **kw) -> DataFrame:
         """Facet counts over ALL matching docs, grouped by a docs-table
-        column: → DataFrame(query_id, facet, n_docs). kw = any matches()
-        option (mode, exclude, min_match, expand_prefixes, filter_df)."""
+        column: → DataFrame(query_id, facet, n_docs[, <col>_<agg>...]).
+        metrics={'n_chars': ['avg', 'max'], 'score': ['avg']} adds
+        per-bucket stats (ES stats sub-aggregation; 'score' = the match's
+        BM25 score). kw = any matches() option (mode, exclude, min_match,
+        expand_prefixes, filter_df)."""
         v = self.store.current_version() if kw.get("version") is None else kw["version"]
         cache = self._idf_caches.setdefault(v, {})
         return _query.facet_counts(
             self.spark, self.store, queries, docs_df, facet_col,
-            id_col=id_col, cfg=self.cfg, idf_cache=cache, **kw,
+            id_col=id_col, metrics=metrics, cfg=self.cfg, idf_cache=cache,
+            **kw,
         )
 
     def search_filtered(self, query: str, filter_df: DataFrame,

@@ -819,6 +819,9 @@ def search_matches(
     return search_topk(spark, store, queries, k=None, **kw)
 
 
+_FACET_AGGS = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+
+
 def facet_counts(
     spark: SparkSession,
     store: SnapshotStore,
@@ -826,23 +829,50 @@ def facet_counts(
     docs_df: DataFrame,
     facet_col: str,
     id_col: str = "doc_id",
+    metrics: dict[str, list] | None = None,
     **kw,
 ) -> DataFrame:
     """Facet counts over ALL matching docs (the search-engine facet
-    panel): → DataFrame(query_id, facet, n_docs). The match set joins to
-    the docs table on doc_id (sort-merge at scale; the facet value is
-    per-doc, so no pre-aggregation is possible before the join), then a
-    map-side-combined groupBy counts per (query, facet value)."""
+    panel): → DataFrame(query_id, facet, n_docs[, <col>_<agg>...]). The
+    match set joins to the docs table on doc_id (sort-merge at scale;
+    the facet value is per-doc, so no pre-aggregation is possible before
+    the join), then a map-side-combined groupBy counts per (query,
+    facet value).
+
+    metrics (the ES stats sub-aggregation analog): {column: aggs} adds
+    per-bucket aggregations of docs-table numeric columns — aggs from
+    {'avg', 'min', 'max', 'sum'}, output column '<col>_<agg>'. The
+    reserved column name 'score' aggregates the match's BM25 score
+    instead of a docs column. avg (and every score agg — engines may
+    differ in the last ulp) is rounded to 6dp; min/max/sum of integral
+    docs columns stay exact."""
     matches = search_matches(spark, store, queries, **kw)
+    metrics = {c: ([fns] if isinstance(fns, str) else list(fns))
+               for c, fns in (metrics or {}).items()}
+    for c, fns in metrics.items():
+        bad = sorted(set(fns) - set(_FACET_AGGS))
+        if bad:
+            raise ValueError(
+                f"unknown facet aggregation(s) {bad} for {c!r}; "
+                f"valid: {sorted(_FACET_AGGS)}")
+    doc_metric_cols = [c for c in metrics if c != "score"]
     facets = docs_df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(facet_col).alias("facet"),
+        *[F.col(c) for c in doc_metric_cols],
     )
+    aggs = [F.count("*").alias("n_docs")]
+    for c, fns in metrics.items():
+        for fn in fns:
+            col = _FACET_AGGS[fn](c)
+            if fn == "avg" or c == "score":
+                col = F.round(col, 6)
+            aggs.append(col.alias(f"{c}_{fn}"))
     return (
-        matches.select("query_id", "doc_id")
+        matches.select("query_id", "doc_id", "score")
         .join(facets, "doc_id")
         .groupBy("query_id", "facet")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(*aggs)
     )
 
 

@@ -419,3 +419,43 @@ def test_synonyms_errors(spark, setup):
     with pytest.raises(ValueError, match="mode='any'"):
         eng.search("water", min_match=1,
                    synonyms={"water": ["time"]}).collect()
+
+
+def test_facet_metrics_python_recount(spark, setup):
+    """Stats sub-aggregations: per-bucket avg/min/max/sum of a docs
+    column and of the match score, against a python recount over the
+    brute-force match set."""
+    eng, corpus = setup
+    toks = _tok_docs(corpus)
+    docs = corpus.docs.withColumn("bucket",
+                                  (F.col("doc_id") % 3).cast("string"))
+    f = {r["facet"]: r for r in
+         eng.facets(["water"], docs, "bucket",
+                    metrics={"dl": ["avg", "min", "max", "sum"],
+                             "score": ["avg", "max"]}).collect()}
+    dl_py = {r["doc_id"]: r["dl"] for r in corpus.docs.collect()}
+    sc_py = {r["doc_id"]: r["score"] for r in
+             bruteforce_topk(spark, corpus, "water", k=10 ** 6).collect()}
+    matched = [d for d, t in toks.items() if "water" in t]
+    assert matched, "fixture must match something"
+    buckets = collections.defaultdict(list)
+    for d in matched:
+        buckets[str(d % 3)].append(d)
+    assert set(f) == set(buckets)
+    for b, ds in buckets.items():
+        r = f[b]
+        dls = [dl_py[d] for d in ds]
+        scs = [sc_py[d] for d in ds]
+        assert r["n_docs"] == len(ds)
+        assert r["dl_min"] == min(dls) and r["dl_max"] == max(dls)
+        assert r["dl_sum"] == sum(dls)
+        assert r["dl_avg"] == pytest.approx(sum(dls) / len(dls), abs=1e-6)
+        assert r["score_avg"] == pytest.approx(sum(scs) / len(scs), abs=1e-5)
+        assert r["score_max"] == pytest.approx(max(scs), abs=1e-6)
+
+
+def test_facet_metrics_unknown_agg_raises(spark, setup):
+    eng, corpus = setup
+    with pytest.raises(ValueError, match="unknown facet aggregation"):
+        eng.facets(["water"], corpus.docs, "dl",
+                   metrics={"dl": ["median"]}).collect()

@@ -103,6 +103,9 @@ def test_cli_roundtrip(spark, tmp_path):
         "cast(turn_idx as long) as doc_id", "role").write.parquet(docs_pq)
     assert cli.main(["search", "--index", idx, "-q", "the of",
                      "--facet-by", f"{docs_pq}:role"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "the of",
+                     "--facet-by", f"{docs_pq}:role",
+                     "--facet-metric", "score=avg,max"]) == 0
     # reverse search through the CLI (route the corpus against a query)
     assert cli.main(["route", "--index", idx4, "--input", out,
                      "-q", "the of", "--min-score", "1.0",
