@@ -504,15 +504,17 @@ MIXED_BATCH = [
     {"text": "join",                             # query-time synonyms:
      "synonyms": {"join": ["hash", "scan"],      # expanded, own idfs;
                   "zzz": ["row"]}},              # non-matching key ignored
+    {"text": "*ow h?sh", "prefix": True},        # wildcards: leading-* scan
+                                                 # + '?' single-char
 ]
 
 
 def _q_search_mixed_batch(spark, sf_dir):
     """Mixed-mode batched search: bag-of-words + conjunctive + phrase +
     proximity + NOT terms + minimum_should_match + prefix expansion +
-    fuzzy expansion + per-term boosts + synonym expansion in one job
-    over the positional index. Oracle: the union of the ten
-    single-predicate SQL twins, labeled by query_id."""
+    fuzzy expansion + per-term boosts + synonym expansion + wildcard
+    expansion in one job over the positional index. Oracle: the union
+    of the eleven single-predicate SQL twins, labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -534,6 +536,7 @@ def _mixed_batch_sql(k: int = K) -> str:
         # synonym expansion == plain BM25 over the expanded term set
         # ('zzz' matches no query token, so 'row' must NOT appear)
         _bm25_sql(["join", "hash", "scan"], k),
+        _bm25_sql([], k, wildcards=["*ow", "h?sh"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
@@ -1234,6 +1237,7 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
               exclude_terms: list[str] | None = None, min_match: int = 0,
               prefix_stems: list[str] | None = None,
               fuzzy_specs: list[tuple[str, int]] | None = None,
+              wildcards: list[str] | None = None,
               boosts: dict[str, float] | None = None,
               enumerate_all: bool = False, offset: int = 0) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
@@ -1263,12 +1267,16 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
     ranked (offset, offset+k] of the global (s DESC, doc_id ASC) order
     (the ORACLE may use OFFSET; the engine never does)."""
     vals = ", ".join(f"('{t}')" for t in terms)
-    if prefix_stems or fuzzy_specs:
+    if prefix_stems or fuzzy_specs or wildcards:
         preds = [f"term LIKE '{s}%'" for s in (prefix_stems or [])]
         # fuzzy twin: dictionary expansion by edit distance (the engine's
-        # length-window + levenshtein scan, in one DuckDB predicate)
+        # length-window + levenshtein scan, in one DuckDB predicate);
+        # wildcard twin: the same '*'→'%' / '?'→'_' LIKE rewrite
         preds += [f"levenshtein(term, '{s}') <= {int(d)}"
                   for s, d in (fuzzy_specs or [])]
+        preds += ["term LIKE '{}'".format(
+                      p.replace("*", "%").replace("?", "_"))
+                  for p in (wildcards or [])]
         branches = [f"SELECT term FROM dfs WHERE {' OR '.join(preds)}"]
         if terms:
             branches.append(f"SELECT term FROM (VALUES {vals}) v(term)")

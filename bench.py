@@ -225,6 +225,27 @@ def main() -> None:
            lambda: eng.matches(["dup join"]).count())
     xtimed("x_facet_lang",
            lambda: eng.facets(["join hash row"], docs, "lang").collect())
+    # round-5 additions: deep paging, expansions, MLT, explain, suggest,
+    # synonym rewrite, facet stats
+    page1 = eng.search("join hash row", k=10).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    xtimed("x_search_after_page2", lambda: eng.search(
+        "join hash row", k=10, after=cursor).collect())
+    xtimed("x_search_fuzzy_boosted", lambda: eng.search(
+        "hash~ join", k=10, expand_prefixes=True,
+        boosts={"join": 2.0}).collect())
+    xtimed("x_search_synonyms", lambda: eng.search(
+        "join", k=10, synonyms={"join": ["hash", "scan"]}).collect())
+    xtimed("x_more_like_this", lambda: eng.more_like_this(
+        "join hash row scan window spark partition", k=10).collect())
+    xtimed("x_score_explain", lambda: eng.explain(
+        "join hash row", k=5).collect())
+    xtimed("x_spell_suggest", lambda: eng.suggest(
+        "joib hashh windo", n=3).collect())
+    xtimed("x_facet_stats", lambda: eng.facets(
+        ["join hash row"], docs, "lang",
+        metrics={"n_chars": ["avg", "max"], "score": ["avg", "max"]}
+    ).collect())
 
     # ---- scaling evidence: same job, same input, N vs 4N cores ------------
     # N=1, 4N=4 by default: this is ONE machine — all threads share one

@@ -83,10 +83,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--prefix", action="store_true",
                    help="parse dictionary-expansion syntax: trailing-'*' "
                         "prefix queries (tok* matches every index term "
-                        "starting with tok) and trailing-'~' fuzzy "
+                        "starting with tok), trailing-'~' fuzzy "
                         "queries (tok~ / tok~2 match terms within edit "
-                        "distance 1 / 2), each expansion scored with its "
-                        "own idf")
+                        "distance 1 / 2), and '*'/'?' wildcards anywhere "
+                        "else (*ing, t?ble — leading/infix included), "
+                        "each expansion scored with its own idf")
     s.add_argument("--boost", action="append", default=None,
                    metavar="TERM=W",
                    help="per-term boost (repeatable): multiply TERM's "

@@ -82,8 +82,10 @@ class Engine:
         (must_not; survivors' scores unchanged); min_match=n keeps only
         docs matching ≥ n distinct query terms (minimum_should_match,
         mode='any'); expand_prefixes=True parses dictionary-expansion
-        syntax — trailing-'*' prefix queries ("tok*") and trailing-'~'
-        fuzzy queries ("tok~", "tok~2" = edit distance 1 / 2);
+        syntax — trailing-'*' prefix queries ("tok*"), trailing-'~'
+        fuzzy queries ("tok~", "tok~2" = edit distance 1 / 2), and
+        '*'/'?' wildcards anywhere else ("*ing", "t?ble" — Lucene
+        WildcardQuery, leading/infix included);
         after=(score, doc_id) is the
         deep-paging cursor — pass the last row of the previous page to
         get the next k results at page-1 cost (search_after, never

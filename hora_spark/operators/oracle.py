@@ -48,6 +48,7 @@ def bruteforce_topk(
     min_match: int = 0,
     prefix_stems: list[str] | None = None,
     fuzzy_specs: list[tuple[str, int]] | None = None,
+    wildcards: list[str] | None = None,
     boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Exact top-k: (doc_id, score) ordered by (score DESC, doc_id ASC).
@@ -65,16 +66,21 @@ def bruteforce_topk(
     stem, each scored with its own idf (the engine's prefix rewrite).
     fuzzy_specs: [(stem, d)] — extra query terms = every corpus term
     within levenshtein distance d of a stem (the engine's fuzzy rewrite,
-    here via the INDEPENDENT JVM levenshtein over the stats table)."""
+    here via the INDEPENDENT JVM levenshtein over the stats table).
+    wildcards: '*'/'?' patterns — extra query terms = every corpus term
+    the pattern matches (the engine's wildcard rewrite, here via the
+    independent JVM LIKE)."""
     cfg = cfg or EngineConfig()
     q = query_terms_df(spark, query, corpus, cfg).select("term", "idf")
-    if prefix_stems or fuzzy_specs:
+    if prefix_stems or fuzzy_specs or wildcards:
         from functools import reduce
         from operator import or_
 
         conds = [F.col("term").startswith(s) for s in (prefix_stems or [])]
         conds += [F.levenshtein(F.col("term"), F.lit(s)) <= d
                   for s, d in (fuzzy_specs or [])]
+        conds += [F.col("term").like(p.replace("*", "%").replace("?", "_"))
+                  for p in (wildcards or [])]
         q = q.unionByName(
             corpus.term_stats.filter(reduce(or_, conds)).select("term", "idf")
         ).dropDuplicates(["term"])

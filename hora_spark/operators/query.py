@@ -224,18 +224,41 @@ _FUZZY_RE = re.compile(r"^(?P<stem>.+?)~(?P<dist>[12])?$")
 
 def _parse_prefix_terms(
     text: str, unicode: bool,
-) -> tuple[list[str], list[str], list[tuple[str, int]]]:
+) -> tuple[list[str], list[str], list[tuple[str, int]], list[str]]:
     """Split an expansion-syntax query into (plain tokens, prefix stems,
-    fuzzy specs): whitespace words ending in '*' are prefix stems, words
-    ending in '~' or '~1'/'~2' are fuzzy terms (Lucene's fuzzy syntax;
-    bare '~' means edit distance 1), everything else tokenizes normally.
-    A stem/fuzzy word must reduce to exactly ONE index token."""
+    fuzzy specs, wildcard patterns): whitespace words ending in a single
+    trailing '*' are prefix stems (the pushdown-friendly special case),
+    words ending in '~' or '~1'/'~2' are fuzzy terms (Lucene's fuzzy
+    syntax; bare '~' means edit distance 1), words with '*' / '?'
+    anywhere ELSE are wildcard patterns ('*' = any run, '?' = one char —
+    Lucene WildcardQuery, incl. leading/infix wildcards), everything
+    else tokenizes normally. A stem/fuzzy word must reduce to exactly
+    ONE index token; a wildcard's literal chars must already BE one
+    normalized index token (type patterns lowercase)."""
     plains: list[str] = []
     stems: list[str] = []
     fuzz: list[tuple[str, int]] = []
+    wilds: list[str] = []
     for w in (text or "").split():
-        fm = None if w.endswith("*") else _FUZZY_RE.match(w)
-        if w.endswith("*") or fm:
+        is_prefix = (len(w) > 1 and w.endswith("*")
+                     and "*" not in w[:-1] and "?" not in w)
+        is_wild = not is_prefix and ("*" in w or "?" in w)
+        fm = None if (is_prefix or is_wild) else _FUZZY_RE.match(w)
+        if is_wild:
+            lit = w.replace("*", "").replace("?", "")
+            if not lit:
+                raise ValueError(
+                    f"wildcard {w!r} has no literal characters (a "
+                    "match-everything pattern is a full-dictionary scan, "
+                    "not a query)")
+            ts = tokenize_py(lit, unicode=unicode)
+            if len(ts) != 1 or ts[0] != lit:
+                raise ValueError(
+                    f"wildcard {w!r}: the literal characters must form "
+                    "exactly one normalized index token (lowercase, no "
+                    "punctuation)")
+            wilds.append(w)
+        elif is_prefix or fm:
             raw = w.rstrip("*") if fm is None else fm.group("stem")
             st = tokenize_py(raw, unicode=unicode)
             if len(st) != 1:
@@ -249,7 +272,7 @@ def _parse_prefix_terms(
                 fuzz.append((st[0], int(fm.group("dist") or 1)))
         else:
             plains.extend(tokenize_py(w, unicode=unicode))
-    return plains, stems, fuzz
+    return plains, stems, fuzz, wilds
 
 
 def _expand_stems(
@@ -377,6 +400,62 @@ def _expand_fuzzy(
     return {(s, d): cache[key(s, d)] for s, d in fuzz}
 
 
+def _expand_wildcards(
+    store: SnapshotStore,
+    version: int | None,
+    pats: list[str],
+    cache: dict,
+    cfg: EngineConfig,
+) -> dict[str, list[str]]:
+    """Expand wildcard patterns ('*' = any run, '?' = one char, anywhere
+    in the word — Lucene WildcardQuery) against the index DICTIONARY:
+    ONE stats-table scan with OR'd LIKE predicates serves every pattern
+    in the batch. Leading/infix wildcards cannot push a prefix down, so
+    the scan reads the whole (dictionary-sized, term-sorted) stats table
+    — the same cost Lucene documents for leading wildcards; the corpus
+    itself is never touched. Tokens contain no '%'/'_' in either
+    tokenizer mode, so '*'→'%' / '?'→'_' is escape-free. Same
+    max_prefix_expansion cap and per-snapshot idf-cache seeding as
+    prefix stems (keyed '*pattern'; patterns always contain a wildcard
+    char, so stem keys can't collide)."""
+    import fnmatch
+    from functools import reduce
+    from operator import or_
+
+    cap = cfg.max_prefix_expansion
+    missing = [p for p in pats if ("*" + p) not in cache]
+    if missing:
+        cond = reduce(or_, [
+            F.col("term").like(p.replace("*", "%").replace("?", "_"))
+            for p in missing])
+        total_cap = cap * len(missing)
+        rows = (
+            store.read("stats", version)
+            .filter(cond)
+            .select("term", "idf")
+            .limit(total_cap + 1)
+            .collect()
+        )
+        if len(rows) > total_cap:
+            raise ValueError(
+                f"wildcard expansion exceeds {total_cap} terms for "
+                f"patterns {missing}; narrow them or raise "
+                "EngineConfig.max_prefix_expansion"
+            )
+        for p in missing:
+            got = [(r["term"], float(r["idf"])) for r in rows
+                   if fnmatch.fnmatchcase(r["term"], p)]
+            if len(got) > cap:
+                raise ValueError(
+                    f"wildcard {p!r} expands to {len(got)} terms "
+                    f"(> max_prefix_expansion={cap}); narrow it"
+                )
+            cache["*" + p] = [t for t, _ in got]
+            for t, i in got:
+                cache[t] = i
+    return {p: cache["*" + p] for p in pats}
+
+
 def search_topk(
     spark: SparkSession,
     store: SnapshotStore,
@@ -450,9 +529,13 @@ def search_topk(
     words are prefix queries ("tok*" matches every index term starting
     with 'tok'), trailing-'~' / '~1' / '~2' words are fuzzy queries
     ("tok~2" matches every index term within edit distance 2 of 'tok',
-    the stem included). Expansion happens against the stats-table
-    dictionary (pushed-down startswith / length-window + JVM
-    levenshtein; capped at cfg.max_prefix_expansion /
+    the stem included), and words with '*' / '?' anywhere else are
+    wildcard queries ("*ing", "t?ble", "s*am" — Lucene WildcardQuery,
+    leading/infix included). Expansion happens against the stats-table
+    dictionary (pushed-down startswith for prefixes; length-window + JVM
+    levenshtein for fuzzy; LIKE over the dictionary for wildcards —
+    leading wildcards scan the whole term-sorted stats table, never the
+    corpus; all capped at cfg.max_prefix_expansion /
     cfg.max_fuzzy_expansion per stem) and each expanded term scores
     with its OWN idf (Lucene's scoring-boolean rewrite).
 
@@ -646,17 +729,22 @@ def search_topk(
                          for s in qs[0][2]})
     need_fuzz = sorted({f for qs in q_specs if isinstance(qs[0], tuple)
                         for f in qs[0][3]})
-    if need_stems or need_fuzz:
+    need_wild = sorted({p for qs in q_specs if isinstance(qs[0], tuple)
+                        for p in qs[0][4]})
+    if need_stems or need_fuzz or need_wild:
         exp = (_expand_stems(store, version, need_stems, cache, cfg)
                if need_stems else {})
         fexp = (_expand_fuzzy(store, version, need_fuzz, cache, cfg)
                 if need_fuzz else {})
+        wexp = (_expand_wildcards(store, version, need_wild, cache, cfg)
+                if need_wild else {})
         for qs in q_specs:
             if isinstance(qs[0], tuple):
-                _, plains, stems, fuzz = qs[0]
+                _, plains, stems, fuzz, wilds = qs[0]
                 qs[0] = sorted(set(plains)
                                | {t for s in stems for t in exp[s]}
-                               | {t for f in fuzz for t in fexp[f]})
+                               | {t for f in fuzz for t in fexp[f]}
+                               | {t for p in wilds for t in wexp[p]})
     # boost keys must name actual query terms (post-expansion; corpus-
     # absent query terms still count — the boost is then a no-op, but
     # the user DID type that term). A stray key is a typo, not a no-op.

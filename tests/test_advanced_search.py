@@ -459,3 +459,45 @@ def test_facet_metrics_unknown_agg_raises(spark, setup):
     with pytest.raises(ValueError, match="unknown facet aggregation"):
         eng.facets(["water"], corpus.docs, "dl",
                    metrics={"dl": ["median"]}).collect()
+
+
+# -------------------------------------------------------------- wildcards --
+
+def test_wildcard_matches_oracle(spark, setup):
+    """Leading/infix/'?' wildcards vs the independent LIKE-expansion
+    oracle, pruned and exhaustive."""
+    eng, corpus = setup
+    want = rows(bruteforce_topk(spark, corpus, "people", k=K,
+                                wildcards=["*er", "t?me"]))
+    for prune in (True, False):
+        got = rows(eng.search("*er t?me people", k=K, prune=prune,
+                              expand_prefixes=True))
+        assert got == want, prune
+    # a wildcard with no corpus match contributes nothing
+    assert rows(eng.search("zzz*qqq people", k=K, expand_prefixes=True)) \
+        == rows(eng.search("people", k=K))
+
+
+def test_wildcard_expansion_python_recount(spark, setup):
+    """The expanded term set is exactly fnmatch over the dictionary."""
+    import fnmatch
+    eng, corpus = setup
+    vocab = [r["term"] for r in corpus.term_stats.select("term").collect()]
+    eng._idf_caches.clear()
+    eng.search("w?ter*", k=5, expand_prefixes=True).collect()
+    cache = eng._idf_caches[eng.store.current_version()]
+    want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, "w?ter*"))
+    assert sorted(cache["*w?ter*"]) == want and want  # non-empty: water...
+
+
+def test_wildcard_validation(spark, setup):
+    eng, _ = setup
+    with pytest.raises(ValueError, match="no literal characters"):
+        eng.search("* people", expand_prefixes=True).collect()
+    with pytest.raises(ValueError, match="one normalized index token"):
+        eng.search("a.b*c", expand_prefixes=True).collect()
+    with pytest.raises(ValueError, match="one normalized index token"):
+        eng.search("TE*st", expand_prefixes=True).collect()
+    # trailing-'*'-only words still take the pushdown prefix path
+    assert rows(eng.search("wat*", k=5, expand_prefixes=True)) == \
+        rows(eng.search("wat*", k=5, expand_prefixes=True))

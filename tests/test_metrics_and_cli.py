@@ -98,6 +98,8 @@ def test_cli_roundtrip(spark, tmp_path):
                      "-k", "5", "--min-match", "2"]) == 0
     assert cli.main(["search", "--index", idx, "-q", "wat* the", "-k", "5",
                      "--prefix"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "*er t?me", "-k", "5",
+                     "--prefix"]) == 0
     docs_pq = str(tmp_path / "docs_facets")
     spark.read.parquet(out).selectExpr(
         "cast(turn_idx as long) as doc_id", "role").write.parquet(docs_pq)
