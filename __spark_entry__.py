@@ -231,6 +231,66 @@ def _q_bm25_phrase(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+RESCORE_WINDOW = 50
+RESCORE_QW, RESCORE_RW = 1.0, 0.5
+
+
+def _q_bm25_rescore(spark, sf_dir):
+    """Two-pass proximity rescoring (ES rescore window): top-50 by plain
+    BM25 over the phrase's terms, then the phrase query re-scores that
+    window — final = 1.0·bm25 + 0.5·phrase_score (0 for non-phrase window
+    docs). Oracle: the base scored CTE windowed by (s DESC, doc_id), left
+    joined to the phrase-scored CTE, weights combined on RAW doubles and
+    rounded once at the end — exactly the engine's arithmetic."""
+    _q_bm25_phrase(spark, sf_dir)  # ensures the positional engine exists
+    eng = _ENGINE_CACHE[sf_dir + "#pos"]
+    res = eng.rescore(PHRASE_QUERY, k=K, window_size=RESCORE_WINDOW,
+                      rescore_mode="phrase", query_weight=RESCORE_QW,
+                      rescore_weight=RESCORE_RW)
+    return res.select("doc_id", F.round("score", 6).alias("score"),
+                      F.round("base_score", 6).alias("base_score"),
+                      F.round("rescore_score", 6).alias("rescore_score"))
+
+
+def _rescore_sql(phrase: str, k: int = K, window: int = RESCORE_WINDOW,
+                 qw: float = RESCORE_QW, rw: float = RESCORE_RW) -> str:
+    terms = tokenize_py(phrase)
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    needle = " " + " ".join(terms) + " "
+    contrib = (f"LN((N - df + 0.5) / (df + 0.5) + 1.0)"
+               f" * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b}"
+               f" + {BM25.b} * docs.dl / avgdl))")
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT tfx.doc_id, sum({contrib}) AS s
+  FROM tfx JOIN docs USING (doc_id) JOIN dfs USING (term)
+  JOIN q USING (term) CROSS JOIN stats
+  GROUP BY tfx.doc_id
+),
+win AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id ASC LIMIT {window}),
+matched AS (SELECT doc_id FROM tok
+            WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '%{needle}%'),
+prox AS (
+  SELECT tfx.doc_id, sum({contrib}) AS ps
+  FROM tfx JOIN docs USING (doc_id) JOIN dfs USING (term)
+  JOIN q USING (term) JOIN matched USING (doc_id) CROSS JOIN stats
+  GROUP BY tfx.doc_id
+  HAVING count(*) = {len(set(terms))}
+)
+SELECT win.doc_id,
+       ROUND({qw!r} * win.s + {rw!r} * coalesce(prox.ps, 0.0), 6) AS score,
+       ROUND(win.s, 6) AS base_score,
+       ROUND(coalesce(prox.ps, 0.0), 6) AS rescore_score
+FROM win LEFT JOIN prox USING (doc_id)
+ORDER BY {qw!r} * win.s + {rw!r} * coalesce(prox.ps, 0.0) DESC, win.doc_id ASC
+LIMIT {k}
+"""
+    )
+
+
 def _q_bm25_search_after(spark, sf_dir):
     """Deep paging (search_after): page 2 of the hot query via the
     (score, doc_id) cursor of page 1's last row — the cursor filter is
@@ -658,22 +718,13 @@ def _q_bm25_filtered(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
-def _q_search_with_text(spark, sf_dir):
-    """The `search_nodes` surface (ann_index.rs:81-84) on the driver gate:
-    WAND top-k + broadcast join-back to the payload table — doc_id, score,
-    AND the raw text must all match the SQL oracle."""
-    from hora_spark.operators.query import search_with_text
-
-    eng = _engine(spark, sf_dir)
-    res = search_with_text(spark, eng.store, _docs(spark, sf_dir),
-                           [" ".join(MID_QUERY)], k=K)
-    return res.select("doc_id", F.round("score", 6).alias("score"), "text")
-
-
 def _q_search_snippets(spark, sf_dir):
-    """The full retrieval-stack answer shape: WAND top-k → payload
-    join-back → highlighted snippet (pure-Column window around the
-    earliest query-term hit) — all JVM-side after the shard UDF."""
+    """The full retrieval-stack answer shape (`search_nodes`,
+    ann_index.rs:81-84, + highlighting): WAND top-k → broadcast payload
+    join-back (doc_id, score, raw text all hash-checked — the r3/r4
+    search_with_text entry rides along as the text column) → highlighted
+    snippet (pure-Column best window around the densest query-term
+    cluster) — all JVM-side after the shard UDF."""
     from hora_spark.functions.snippets import with_snippets
     from hora_spark.operators.query import search_with_text
 
@@ -681,7 +732,8 @@ def _q_search_snippets(spark, sf_dir):
     res = search_with_text(spark, eng.store, _docs(spark, sf_dir),
                            [" ".join(MID_QUERY)], k=K)
     out = with_snippets(res, sorted(set(MID_QUERY)), window=4)
-    return out.select("doc_id", F.round("score", 6).alias("score"), "snippet")
+    return out.select("doc_id", F.round("score", 6).alias("score"), "text",
+                      "snippet")
 
 
 def _q_bm25_topk_per_source(spark, sf_dir):
@@ -1171,12 +1223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": _q_score_explain,
         "spell_suggest": _q_spell_suggest,
         "bm25_topk_phrase": _q_bm25_phrase,
+        "bm25_rescore_phrase": _q_bm25_rescore,
         "bm25_topk_near": _q_bm25_near,
         "bm25_topk_near_unordered": _q_bm25_near_unordered,
         "search_mixed_batch": _q_search_mixed_batch,
         "search_matches": _q_search_matches,
         "facet_lang_counts": _q_facet_lang,
-        "search_with_text": _q_search_with_text,
         "search_snippets": _q_search_snippets,
         "route_matches": _q_route_matches,
         "topk_per_term": _q_topk_per_term,
@@ -1674,20 +1726,16 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "score_explain": _explain_sql(sorted(set(HOT_QUERY))),
         "spell_suggest": _suggest_sql(sorted(SUGGEST_INPUTS.split())),
         "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
+        "bm25_rescore_phrase": _rescore_sql(PHRASE_QUERY),
         "bm25_topk_near": _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW),
         "bm25_topk_near_unordered": _bm25_near_unordered_sql(
             NEAR_UNORD_QUERY, NEAR_UNORD_WINDOW),
         "search_mixed_batch": _mixed_batch_sql(),
         "search_matches": _match_enum_sql(),
         "facet_lang_counts": _facet_sql(),
-        "search_with_text": (
-            "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
-            "SELECT t.doc_id, t.score, d.text "
-            "FROM topk t JOIN documents d USING (doc_id)"
-        ),
         "search_snippets": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
-            "SELECT t.doc_id, t.score, "
+            "SELECT t.doc_id, t.score, d.text, "
             + snippet_sql("d.text", sorted(set(MID_QUERY)), 4)
             + " AS snippet FROM topk t JOIN documents d USING (doc_id)"
         ),

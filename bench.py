@@ -211,6 +211,8 @@ def main() -> None:
                + [("part filter", "phrase", None), ("table hash", "near", 4)])
     xtimed("x_search_mixed_batch_10",
            lambda: pos_eng.searches(mixed10, k=10).collect())
+    xtimed("x_rescore_phrase", lambda: pos_eng.rescore(
+        "part filter", k=10, window_size=50, rescore_weight=0.5).collect())
     shutil.rmtree(pos_path, ignore_errors=True)
     # round-5 advanced predicates (NOT / min_match / prefix in one job),
     # match enumeration, and facet counts — on the non-positional index
@@ -246,6 +248,8 @@ def main() -> None:
         ["join hash row"], docs, "lang",
         metrics={"n_chars": ["avg", "max"], "score": ["avg", "max"]}
     ).collect())
+    xtimed("x_search_wildcard", lambda: eng.search(
+        "*ow h?sh", k=10, expand_prefixes=True).collect())
 
     # ---- scaling evidence: same job, same input, N vs 4N cores ------------
     # N=1, 4N=4 by default: this is ONE machine — all threads share one

@@ -143,6 +143,19 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("-k", type=int, default=10,
                     help="top-k to explain when --ids is omitted")
 
+    rs = sub.add_parser("rescore", help="two-pass proximity rescoring: "
+                                        "top-window by BM25, re-ranked by "
+                                        "qw*bm25 + rw*proximity score")
+    rs.add_argument("--index", required=True)
+    rs.add_argument("-q", "--query", required=True)
+    rs.add_argument("-k", type=int, default=10)
+    rs.add_argument("--window", type=int, default=100)
+    rs.add_argument("--rescore-mode", default="phrase",
+                    choices=["phrase", "near", "near_unordered"])
+    rs.add_argument("--near-window", type=int, default=5)
+    rs.add_argument("--query-weight", type=float, default=1.0)
+    rs.add_argument("--rescore-weight", type=float, default=1.0)
+
     sg = sub.add_parser("suggest", help="spell suggestion: closest "
                                         "dictionary terms per query token "
                                         "(distance, then df)")
@@ -316,6 +329,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"doc_id": r["doc_id"], "term": r["term"],
                               "tf": r["tf"], "dl": r["dl"], "idf": r["idf"],
                               "contrib": r["contrib"], "score": r["score"]}))
+    elif args.cmd == "rescore":
+        eng = Engine(spark, args.index)
+        res = eng.rescore(args.query, k=args.k, window_size=args.window,
+                          rescore_mode=args.rescore_mode,
+                          near_window=args.near_window,
+                          query_weight=args.query_weight,
+                          rescore_weight=args.rescore_weight)
+        for r in res.collect():
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"],
+                              "base_score": r["base_score"],
+                              "rescore_score": r["rescore_score"]}))
     elif args.cmd == "suggest":
         eng = Engine(spark, args.index)
         res = eng.suggest(args.query, n=args.n,

@@ -149,6 +149,58 @@ class Engine:
         return explain_scores(self.spark, self.store, query, doc_ids,
                               cfg=self.cfg, version=version, idf_cache=cache)
 
+    def rescore(self, query: str, k: int | None = None,
+                window_size: int = 100, rescore_mode: str = "phrase",
+                near_window: int = 5, query_weight: float = 1.0,
+                rescore_weight: float = 1.0,
+                version: int | None = None) -> DataFrame:
+        """Two-pass proximity rescoring (the ES `rescore` window):
+        pass 1 takes the top `window_size` docs by plain BM25; pass 2
+        re-runs the query in `rescore_mode` ('phrase', 'near', or
+        'near_unordered' — positional index required) RESTRICTED to that
+        window, and the final ordering uses
+        query_weight·bm25 + rescore_weight·proximity_score (proximity
+        score 0 for window docs the rescore query misses, like ES).
+        → DataFrame(doc_id, score, base_score, rescore_score), top-k by
+        (score DESC, doc_id ASC). Cost: the window collect is ≤
+        window_size ids (driver-bounded by config, same class as the
+        filtered-search size probe); pass 2's positional decode touches
+        only the window docs' shards."""
+        from pyspark.sql import functions as F
+
+        if rescore_mode not in ("phrase", "near", "near_unordered"):
+            raise ValueError(
+                "rescore_mode must be 'phrase', 'near', or "
+                f"'near_unordered', got {rescore_mode!r}")
+        # materialize the window ONCE (ES does the same): window_size rows
+        # on the driver, reused as both the keep-list and the base scores —
+        # pass 1's DAG runs exactly once
+        window = self.search(query, k=window_size, version=version).collect()
+        if not window:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, base_score double, "
+                    "rescore_score double")
+        cand = self.spark.createDataFrame(
+            [(r["doc_id"], float(r["score"])) for r in window],
+            "doc_id long, base_score double")
+        keep = cand.select("doc_id")
+        prox = (
+            self.matches([query], version=version, filter_df=keep,
+                         mode=rescore_mode, near_window=near_window)
+            .select("doc_id", F.col("score").alias("rescore_score"))
+        )
+        return (
+            cand.join(prox, "doc_id", "left")
+            .withColumn("rescore_score",
+                        F.coalesce("rescore_score", F.lit(0.0)))
+            .withColumn("score",
+                        F.lit(float(query_weight)) * F.col("base_score")
+                        + F.lit(float(rescore_weight)) * F.col("rescore_score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k or self.cfg.k_default)
+            .select("doc_id", "score", "base_score", "rescore_score")
+        )
+
     def suggest(self, query: str, n: int = 3, max_distance: int = 2,
                 mode: str = "missing", version: int | None = None) -> DataFrame:
         """Spell suggestion (ES term suggester / Lucene DirectSpellChecker

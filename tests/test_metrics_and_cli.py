@@ -129,6 +129,10 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(["suggest", "--index", idx, "-q", "watr thhe"]) == 0
     assert cli.main(["suggest", "--index", idx, "-q", "the",
                      "--mode", "always", "-n", "2"]) == 0
+    # two-pass rescoring over the positional index
+    assert cli.main(["rescore", "--index", idx4, "-q", "the of",
+                     "-k", "5", "--window", "20",
+                     "--rescore-weight", "0.5"]) == 0
     # query-time synonyms (repeatable table entries; non-matching ignored)
     assert cli.main(["search", "--index", idx, "-q", "water", "-k", "5",
                      "--synonym", "water=people,time",

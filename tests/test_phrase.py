@@ -328,3 +328,48 @@ def test_positional_empty_corpus(spark, tmp_path):
     eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
     assert eng.search("a b", k=5, mode="phrase").count() == 0
     assert eng.search("a b", k=5, mode="near").count() == 0
+
+
+def test_rescore_phrase_window(spark, tmp_path):
+    """Two-pass rescoring: hand corpus where plain BM25 and the
+    phrase-boosted order disagree; recount the combined score exactly."""
+    rows = [
+        ("c0", 0, "u", "alpha beta noise words here", None),   # phrase hit
+        ("c0", 1, "u", "beta alpha beta alpha", None),         # hit at slot 1
+        ("c0", 2, "u", "alpha x x x beta", None),              # gapped: base only
+        ("c0", 3, "u", "alpha alpha alpha beta beta", None),   # hit + high tf
+        ("c0", 4, "u", "unrelated text entirely", None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    eng = Engine(spark, str(tmp_path / "rs"), PCFG)
+    eng.build(df, id_col=None, order_cols=["conv_id", "turn_idx"])
+
+    base = {r["doc_id"]: r["score"]
+            for r in eng.search("alpha beta", k=10).collect()}
+    prox = {r["doc_id"]: r["score"]
+            for r in eng.search("alpha beta", k=10, mode="phrase").collect()}
+    out = eng.rescore("alpha beta", k=10, window_size=10,
+                      rescore_mode="phrase", query_weight=1.0,
+                      rescore_weight=2.0).collect()
+    assert out, "window must be non-empty"
+    want = sorted(
+        ((d, 1.0 * s + 2.0 * prox.get(d, 0.0), s, prox.get(d, 0.0))
+         for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]))
+    got = [(r["doc_id"], r["score"], r["base_score"], r["rescore_score"])
+           for r in out]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+    # a smaller window excludes below-window docs entirely
+    small = eng.rescore("alpha beta", k=10, window_size=2).collect()
+    assert len(small) == 2
+    top2_base = sorted(base.items(), key=lambda x: (-x[1], x[0]))[:2]
+    assert {r["doc_id"] for r in small} == {d for d, _ in top2_base}
+    # validation + empty-query path
+    with pytest.raises(ValueError, match="rescore_mode"):
+        eng.rescore("alpha beta", rescore_mode="any").collect()
+    assert eng.rescore("zzzqqq", k=5).count() == 0
+    shutil.rmtree(str(tmp_path / "rs"), ignore_errors=True)
