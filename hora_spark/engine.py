@@ -130,6 +130,31 @@ class Engine:
             synonyms=synonyms,
         )
 
+    def query_string(self, q: str, k: int | None = None,
+                     min_match: int = 0,
+                     version: int | None = None,
+                     filter_df: DataFrame | None = None) -> DataFrame:
+        """Lucene-style query string in ONE call (the classic QueryParser
+        subset — see hora_spark.functions.qstring for the grammar):
+
+            eng.query_string('+spark "hash join"~3 scan^2 -deprecated pre*')
+
+        '+term' must clauses, '-term' must_not, '"..."' exact-phrase and
+        '"..."~N' order-free proximity clauses (positional index
+        required), 'term^w' boosts, prefix/wildcard/fuzzy expansions as
+        should clauses — all compiled into one boolean-query spec and run
+        as a single search job. min_match = minimum_should_match over the
+        SHOULD clauses (the Lucene convention when must/phrase clauses
+        are present). Several query strings batch via
+        `searches([parse_query_string(s) for s in strings])`."""
+        from hora_spark.functions.qstring import parse_query_string
+
+        spec = parse_query_string(q)
+        if min_match:
+            spec["min_match"] = int(min_match)
+        return self.searches([spec], k=k, version=version,
+                             filter_df=filter_df).drop("query_id")
+
     def explain(self, query: str, doc_ids=None, k: int | None = None,
                 version: int | None = None) -> DataFrame:
         """Score breakdown (Lucene `Explanation` / ES `_explain` analog):

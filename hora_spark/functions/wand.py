@@ -169,9 +169,9 @@ def _score_terms_on_docs(
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     min_match: int = 0,
-    phrase: list[tuple[int, list[int]]] | None = None,
-    near_window: int | None = None,
-    near_unordered: bool = False,
+    min_match_slots: list[int] | None = None,
+    required: list[list[int]] | None = None,
+    chains: list[tuple[list[tuple[int, list[int]]], int | None, bool]] | None = None,
     after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
@@ -184,29 +184,38 @@ def _score_terms_on_docs(
     exactly one posting source per term (base and append-delta doc ranges
     are disjoint) and in exactly one block of that source, so every
     (doc, term) pair yields exactly one contribution array entry here.
+    min_match_slots restricts the count to contributions from those slot
+    indices — the Lucene minimum_should_match convention when a boolean
+    query mixes must/phrase clauses with optional should terms (only the
+    SHOULD clauses count toward the minimum); None counts every slot.
 
-    phrase: list of (slot_offset, indices-into-terms) — after all other
-    filters, keep only docs where some token position p has slot 0's term
-    at p, slot 1's at p + (off1 − off0), etc. Verified fully vectorized
-    over (local-doc, position) composite keys from the SAME decoded
-    blocks (a doc lives entirely inside one block of one source, so its
-    positions never straddle intervals). Callers pass min_match =
-    len(distinct phrase terms), so candidates already contain every term.
+    required: list of slot-index GROUPS (Lucene's +term / must clauses) —
+    a doc survives only if, for EVERY group, at least one of the group's
+    slots matched it. A group is one required term's posting sources
+    (base + append deltas), so multi-source terms stay one clause.
 
-    near_window (proximity mode, requires phrase slots = one per DISTINCT
-    term in query order): instead of exact shifts, keep docs where some
+    chains: positional clauses, each (slots, near_window, unordered) with
+    slots = list of (slot_offset, indices-into-terms). Every chain must
+    match (required clauses; Lucene's '"exact phrase>" / "loose terms"~N').
+    near_window=None → exact adjacency: keep docs where some token
+    position p has slot 0's term at p, slot 1's at p + (off1 − off0),
+    etc. Verified fully vectorized over (local-doc, position) composite
+    keys from the SAME decoded blocks (a doc lives entirely inside one
+    block of one source, so its positions never straddle intervals).
+
+    near_window=w (proximity; slots = one per DISTINCT chain term in
+    chain order): instead of exact shifts, keep docs where some
     occurrence p of the FIRST term has, for every other term, an
-    occurrence within |q − p| ≤ near_window tokens. The composite-key
-    base exceeds max_pos + near_window, so a near-neighbor in key space
-    is automatically in the same doc — one sorted prev/next lookup per
-    slot, no per-doc loop.
+    occurrence within |q − p| ≤ w tokens. The composite-key base exceeds
+    max_pos + w, so a near-neighbor in key space is automatically in the
+    same doc — one sorted prev/next lookup per slot, no per-doc loop.
 
-    near_unordered=True relaxes the anchor to ANY term's occurrence
+    unordered=True relaxes the anchor to ANY term's occurrence
     (order-free, closer to Lucene slop): the doc matches iff SOME
-    occurrence p of SOME query term has, for every OTHER term, an
-    occurrence within near_window of p. Identical to anchored near for
-    2-term queries (|p−q| ≤ w is symmetric); strictly more permissive
-    from 3 terms up. Same composite-key machinery, one anchored pass per
+    occurrence p of SOME chain term has, for every OTHER term, an
+    occurrence within w of p. Identical to anchored near for 2-term
+    chains (|p−q| ≤ w is symmetric); strictly more permissive from
+    3 terms up. Same composite-key machinery, one anchored pass per
     candidate anchor slot (O(n_terms²) sorted lookups on the candidate
     sets).
 
@@ -229,9 +238,11 @@ def _score_terms_on_docs(
     is sound because the cursor comes from this engine's own previous
     page — recomputing the same doc's score is bit-identical (pinned
     summation order)."""
+    need_slots = required is not None or min_match_slots is not None
     all_ids: list[np.ndarray] = []
     all_contrib: list[np.ndarray] = []
-    for t, blocks in zip(terms, blocks_per_term):
+    all_slot: list[np.ndarray] = []
+    for si, (t, blocks) in enumerate(zip(terms, blocks_per_term)):
         for j in blocks:
             ids, tfs, dls = t.decode(int(j))
             m = (ids >= lo) & (ids <= hi)
@@ -241,18 +252,37 @@ def _score_terms_on_docs(
             all_contrib.append(
                 t.idf * _tf_sat(tfs[m], dls[m].astype(np.float64), avgdl, k1, b)
             )
+            if need_slots:
+                all_slot.append(np.full(int(m.sum()), si, np.int32))
     if not all_ids:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cat_ids = np.concatenate(all_ids)
     cat_con = np.concatenate(all_contrib)
+    cat_slot = np.concatenate(all_slot) if need_slots else None
     uids, inv = np.unique(cat_ids, return_inverse=True)
     scores = np.zeros(len(uids), dtype=np.float64)
     np.add.at(scores, inv, cat_con)
-    if min_match > 1:
+    if min_match > 1 or (min_match >= 1 and min_match_slots is not None):
         counts = np.zeros(len(uids), dtype=np.int64)
-        np.add.at(counts, inv, 1)
+        if min_match_slots is None:
+            np.add.at(counts, inv, 1)
+        else:
+            sel = np.isin(cat_slot, min_match_slots)
+            np.add.at(counts, inv[sel], 1)
         qual = counts >= min_match
         uids, scores = uids[qual], scores[qual]
+    if required is not None and len(uids):
+        # must clauses: every group needs ≥1 matching slot per doc — the
+        # group's doc ids come from the SAME contribution arrays (no new
+        # decode), applied pre-heap so θ tracks qualified scores only
+        for group in required:
+            sel = np.isin(cat_slot, group)
+            if not sel.any():
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            keep = _in_sorted(np.unique(cat_ids[sel]), uids)
+            uids, scores = uids[keep], scores[keep]
+            if not len(uids):
+                return np.empty(0, np.int64), np.empty(0, np.float64)
     if after is not None and len(uids):
         cs, cd = float(after[0]), int(after[1])
         qual = (scores < cs) | ((scores == cs) & (uids > cd))
@@ -264,18 +294,19 @@ def _score_terms_on_docs(
         # empty keep-list = filter active, nothing allowed (None = off)
         keep = _in_sorted(allowed, uids)
         uids, scores = uids[keep], scores[keep]
-    if phrase is not None and len(uids):
-        # per slot: (local candidate-doc index, position) pairs from the
-        # same decoded blocks, restricted to surviving candidate docs
-        slot_pairs: list[tuple[np.ndarray, np.ndarray]] = []
-        pair_cache: dict[tuple[int, ...], tuple[np.ndarray, np.ndarray]] = {}
-        pmax = 0
-        for _, idxs in phrase:
+    if chains and len(uids):
+        # raw (doc_id, position) pairs per slot key, cached UNFILTERED so
+        # several chains sharing a term decode/gather once; the filter to
+        # surviving candidates is re-applied per chain (uids shrink as
+        # chains match, so cached candidate-local indices would go stale)
+        raw_cache: dict[tuple[int, ...], tuple[np.ndarray, np.ndarray]] = {}
+
+        def _slot_raw(idxs: list[int]) -> tuple[np.ndarray, np.ndarray]:
             key = tuple(idxs)
-            cached = pair_cache.get(key)
-            if cached is None:
+            got = raw_cache.get(key)
+            if got is None:
                 # duplicate-term slots ("a b a") share one decode+gather
-                locs_l, pos_l = [], []
+                docs_l, pos_l = [], []
                 for ti in idxs:
                     t = terms[ti]
                     for j in blocks_per_term[ti]:
@@ -285,65 +316,80 @@ def _score_terms_on_docs(
                             continue
                         flat, offs = t.decode_pos(int(j))
                         sel = np.flatnonzero(m)
-                        p = flat[segment_gather(offs[sel], tfs[sel])]
-                        d = np.repeat(ids[sel], tfs[sel])
-                        ok = _in_sorted(uids, d)
-                        if ok.any():
-                            locs_l.append(np.searchsorted(uids, d[ok]))
-                            pos_l.append(p[ok])
-                if not locs_l:
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
-                cached = (np.concatenate(locs_l), np.concatenate(pos_l))
-                pair_cache[key] = cached
-            pmax = max(pmax, int(cached[1].max()))
-            slot_pairs.append(cached)
-        # key base: shifted/near keys must stay inside one doc's range
-        pad = (near_window if near_window is not None else len(phrase)) + 2
-        base = pmax + pad
-        slot_keys = [np.unique(l * base + p) for l, p in slot_pairs]
-        cur = slot_keys[0]
-        if near_window is None:
-            # exact adjacency: chain of shifted-key memberships
-            off0 = phrase[0][0]
-            for (off, _), keys_t in zip(phrase[1:], slot_keys[1:]):
-                cur = cur[_in_sorted(keys_t, cur + (off - off0))]
+                        pos_l.append(flat[segment_gather(offs[sel], tfs[sel])])
+                        docs_l.append(np.repeat(ids[sel], tfs[sel]))
+                got = ((np.concatenate(docs_l), np.concatenate(pos_l))
+                       if docs_l
+                       else (np.empty(0, np.int64), np.empty(0, np.int64)))
+                raw_cache[key] = got
+            return got
+
+        for chain, near_window, unordered in chains:
+            if not len(uids):
+                break
+            # per slot: (local candidate-doc index, position) pairs
+            # restricted to the CURRENT survivors
+            slot_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+            pmax = 0
+            dead = False
+            for _, idxs in chain:
+                d, p = _slot_raw(idxs)
+                ok = _in_sorted(uids, d)
+                if not ok.any():
+                    dead = True
+                    break
+                locs, pos = np.searchsorted(uids, d[ok]), p[ok]
+                pmax = max(pmax, int(pos.max()))
+                slot_pairs.append((locs, pos))
+            if dead:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            # key base: shifted/near keys must stay inside one doc's range
+            pad = (near_window if near_window is not None else len(chain)) + 2
+            base = pmax + pad
+            slot_keys = [np.unique(l * base + p) for l, p in slot_pairs]
+            cur = slot_keys[0]
+            if near_window is None:
+                # exact adjacency: chain of shifted-key memberships
+                off0 = chain[0][0]
+                for (off, _), keys_t in zip(chain[1:], slot_keys[1:]):
+                    cur = cur[_in_sorted(keys_t, cur + (off - off0))]
+                    if len(cur) == 0:
+                        return np.empty(0, np.int64), np.empty(0, np.float64)
+            else:
+                # proximity: anchor occurrences must have a neighbor within
+                # near_window in EVERY other slot — nearest sorted neighbor
+                # (prev/next) per anchor, vectorized
+                def _filter_anchored(cur, others):
+                    for keys_t in others:
+                        if len(cur) == 0:
+                            break
+                        idx = np.searchsorted(keys_t, cur)
+                        nxt = np.minimum(idx, len(keys_t) - 1)
+                        prv = np.maximum(idx - 1, 0)
+                        near = np.minimum(np.abs(keys_t[nxt] - cur),
+                                          np.abs(cur - keys_t[prv])) <= near_window
+                        cur = cur[near]
+                    return cur
+
+                if not unordered:
+                    # anchored: the FIRST term's occurrences are the anchors
+                    cur = _filter_anchored(cur, slot_keys[1:])
+                else:
+                    # unordered: ANY term's occurrence may anchor — one
+                    # anchored pass per anchor slot, survivors unioned
+                    survivors = [
+                        _filter_anchored(slot_keys[a],
+                                         slot_keys[:a] + slot_keys[a + 1:])
+                        for a in range(len(slot_keys))
+                    ]
+                    survivors = [s for s in survivors if len(s)]
+                    cur = (np.concatenate(survivors) if survivors
+                           else np.empty(0, np.int64))
                 if len(cur) == 0:
                     return np.empty(0, np.int64), np.empty(0, np.float64)
-        else:
-            # proximity: anchor occurrences must have a neighbor within
-            # near_window in EVERY other slot — nearest sorted neighbor
-            # (prev/next) per anchor, vectorized
-            def _filter_anchored(cur, others):
-                for keys_t in others:
-                    if len(cur) == 0:
-                        break
-                    idx = np.searchsorted(keys_t, cur)
-                    nxt = np.minimum(idx, len(keys_t) - 1)
-                    prv = np.maximum(idx - 1, 0)
-                    near = np.minimum(np.abs(keys_t[nxt] - cur),
-                                      np.abs(cur - keys_t[prv])) <= near_window
-                    cur = cur[near]
-                return cur
-
-            if not near_unordered:
-                # anchored: the FIRST term's occurrences are the anchors
-                cur = _filter_anchored(cur, slot_keys[1:])
-            else:
-                # unordered: ANY term's occurrence may anchor — one
-                # anchored pass per anchor slot, survivors unioned
-                survivors = [
-                    _filter_anchored(slot_keys[a],
-                                     slot_keys[:a] + slot_keys[a + 1:])
-                    for a in range(len(slot_keys))
-                ]
-                survivors = [s for s in survivors if len(s)]
-                cur = (np.concatenate(survivors) if survivors
-                       else np.empty(0, np.int64))
-            if len(cur) == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-        keep = np.zeros(len(uids), dtype=bool)
-        keep[np.unique(cur // base)] = True
-        uids, scores = uids[keep], scores[keep]
+            keep = np.zeros(len(uids), dtype=bool)
+            keep[np.unique(cur // base)] = True
+            uids, scores = uids[keep], scores[keep]
     return uids, scores
 
 
@@ -359,6 +405,9 @@ def shard_topk(
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     min_match: int = 0,
+    min_match_slots: list[int] | None = None,
+    required: list[list[int]] | None = None,
+    chains: list[tuple[list[tuple[int, list[int]]], int | None, bool]] | None = None,
     phrase: list[tuple[int, list[int]]] | None = None,
     near_window: int | None = None,
     near_unordered: bool = False,
@@ -371,12 +420,19 @@ def shard_topk(
     qualified score, so the next page prunes as hard as a fresh query
     whose θ starts near the cursor. See _score_terms_on_docs.
 
-    phrase: slot list for exact phrase matching (see
-    _score_terms_on_docs) — combine with min_match = len(distinct phrase
-    terms); θ then tracks the k-th best PHRASE-qualified score, keeping
-    block-max pruning exact for phrases too. near_window switches the
-    slot check from exact adjacency to anchored proximity;
-    near_unordered relaxes the anchor to any term's occurrence.
+    chains: positional clauses (see _score_terms_on_docs) — every chain
+    must match; θ then tracks the k-th best CHAIN-qualified score,
+    keeping block-max pruning exact for phrases/proximity too.
+    phrase/near_window/near_unordered are the single-chain legacy spelling
+    (phrase= slots, near_window= proximity switch) — normalized into one
+    chains entry here.
+
+    required: must clauses — slot-index groups that every result doc has
+    to match (Lucene '+term'); dropped pre-heap like min_match, so the
+    pruning-exactness argument is unchanged (the OR upper bound dominates
+    every doc's score, qualified or not). min_match_slots restricts the
+    minimum_should_match count to the listed slot indices (should clauses
+    only, the Lucene convention when must/phrase clauses are present).
 
     min_match = len(query terms) gives conjunctive (AND) semantics: only
     docs matching every term may appear; their scores are the usual sums.
@@ -403,6 +459,10 @@ def shard_topk(
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
+    if phrase is not None:  # legacy single-chain spelling
+        chains = (list(chains) if chains else []) + [
+            (phrase, near_window, near_unordered)]
+
     if not prune or k is None:
         # k=None = match ENUMERATION (facets / match counting / export):
         # every qualified doc with its exact score, no heap, no pruning —
@@ -410,7 +470,7 @@ def shard_topk(
         blocks_all = [np.arange(len(t.block_last)) for t in terms]
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
-            deleted, allowed, min_match, phrase, near_window, near_unordered,
+            deleted, allowed, min_match, min_match_slots, required, chains,
             after,
         )
         return (ids, scores) if k is None else _topk(ids, scores, k)
@@ -474,8 +534,8 @@ def shard_topk(
             ]
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
-                avgdl, k1, b, deleted, allowed, min_match, phrase,
-                near_window, near_unordered, after,
+                avgdl, k1, b, deleted, allowed, min_match, min_match_slots,
+                required, chains, after,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

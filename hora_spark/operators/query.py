@@ -142,11 +142,19 @@ def _shard_search(
     # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
     # normal shape of real traffic — one Spark job serves it)
     for qid, (terms, mode, near_window, excl_terms, min_match,
-              after, boosts) in enumerate(queries):
+              after, boosts, req_toks, chain_specs) in enumerate(queries):
         positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
-        # phrase, duplicates matter); other modes ship sorted distinct
-        distinct = sorted(set(terms)) if positional else terms
+        # phrase, duplicates matter); other modes ship sorted distinct.
+        # mode='any' boolean queries add must terms and positional-chain
+        # terms to the slot universe (all matched terms score)
+        if positional:
+            distinct = sorted(set(terms))
+        elif req_toks or chain_specs:
+            distinct = sorted(set(terms) | set(req_toks)
+                              | {tok for ct, _, _ in chain_specs for tok in ct})
+        else:
+            distinct = terms
         tp: list[TermPosting] = []
         idx_of: dict[str, list[int]] = {}
         for t in distinct:
@@ -162,13 +170,15 @@ def _shard_search(
                 tp.extend(plist)
         if not tp:
             continue
-        phrase = None
-        nw = None
+        chains = None
+        required = None
+        mm_slots = None
         if positional:
             if len(idx_of) < len(distinct):
                 continue  # an absent term makes the match unreachable
             if mode == "phrase":
-                phrase = [(off, idx_of[tok]) for off, tok in enumerate(terms)]
+                slots = [(off, idx_of[tok]) for off, tok in enumerate(terms)]
+                chains = [(slots, None, False)]
             else:
                 # near/near_unordered: one slot per DISTINCT term in
                 # query order; anchored near uses the first as the
@@ -177,8 +187,36 @@ def _shard_search(
                 for tok in terms:
                     if tok not in seen:
                         seen.append(tok)
-                phrase = [(i, idx_of[tok]) for i, tok in enumerate(seen)]
-                nw = near_window
+                slots = [(i, idx_of[tok]) for i, tok in enumerate(seen)]
+                chains = [(slots, near_window, mode == "near_unordered")]
+        elif req_toks or chain_specs:
+            # boolean query (query_string): must terms + positional
+            # chains are REQUIRED clauses — a shard missing any of their
+            # terms can contribute no results (shards partition the
+            # doc-id space, so this is a per-shard skip, not a global one)
+            if any(t not in idx_of for t in req_toks) or any(
+                    tok not in idx_of
+                    for ct, _, _ in chain_specs for tok in ct):
+                continue
+            required = [idx_of[t] for t in req_toks] or None
+            built = []
+            for c_toks, c_win, c_unord in chain_specs:
+                if c_win is None:
+                    slots = [(off, idx_of[tok])
+                             for off, tok in enumerate(c_toks)]
+                else:
+                    seen = []
+                    for tok in c_toks:
+                        if tok not in seen:
+                            seen.append(tok)
+                    slots = [(i, idx_of[tok]) for i, tok in enumerate(seen)]
+                built.append((slots, c_win, c_unord))
+            chains = built or None
+            if min_match >= 1:
+                # minimum_should_match counts SHOULD clauses only (the
+                # Lucene convention when must/phrase clauses are present)
+                mm_slots = [i for t in sorted(set(terms))
+                            if t in idx_of for i in idx_of[t]]
         # conjunctive/phrase/near: require every DISTINCT query term —
         # for mode="all", terms absent from the corpus are counted too
         # (len(terms) includes them), making min_match unreachable and
@@ -201,9 +239,8 @@ def _shard_search(
                           else np.union1d(dels_q, ex))
         ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
                                  deleted=dels_q, allowed=allowed,
-                                 min_match=mm, phrase=phrase,
-                                 near_window=nw,
-                                 near_unordered=(mode == "near_unordered"),
+                                 min_match=mm, min_match_slots=mm_slots,
+                                 required=required, chains=chains,
                                  after=after)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
@@ -575,11 +612,29 @@ def search_topk(
     modes are ambiguous over expanded groups. Per-query via the dict
     key 'synonyms'.
 
+    required: must clauses of a boolean query (Lucene '+term'): a string
+    or list of words, each tokenized with the index mode; every result
+    doc must contain EVERY required token. Required tokens score like
+    any other matched term (Lucene scores must clauses); a required
+    token absent from the corpus makes the query empty, the must
+    semantics. Dict-spec key 'required'; mode='any' base only.
+
+    phrases: positional clauses of a boolean query — a list of strings
+    (exact adjacency), (text, window) / (text, window, unordered)
+    tuples, or dicts {text, window, unordered}. Every clause must match
+    (Lucene's '"exact phrase"' / '"loose terms"~N' inside a boolean
+    query); windowed clauses default to unordered=True (slop is
+    order-free). Clause terms join the scored term set; requires the
+    positional index layout. Composes with required/exclude/min_match/
+    boosts/after — min_match then counts SHOULD terms only (the text
+    tokens), the Lucene minimum_should_match convention. Dict-spec key
+    'phrases'; mode='any' base only.
+
     Per-query dict specs may set any of {text, mode, near_window,
-    exclude, min_match, prefix, after, boosts, synonyms}; unset keys
-    inherit the call-level arguments, so a mixed batch (phrase + NOT +
-    prefix + plain + page-2 + boosted + synonym-expanded) is still ONE
-    Spark job."""
+    exclude, min_match, prefix, after, boosts, synonyms, required,
+    phrases}; unset keys inherit the call-level arguments, so a mixed
+    batch (phrase + NOT + prefix + plain + page-2 + boosted +
+    synonym-expanded + boolean) is still ONE Spark job."""
     cfg = cfg or EngineConfig()
     meta = store.meta(version)
     if "avgdl" not in meta:
@@ -622,18 +677,40 @@ def search_topk(
         return {key: ([vals] if isinstance(vals, str) else list(vals))
                 for key, vals in sy.items()}
 
-    specs: list[tuple[str, str, int, str | None, int, bool,
-                      tuple[float, int] | None, dict[str, float] | None,
-                      dict[str, list] | None]] = []
+    def _norm_phrases(ph) -> list[tuple[str, int | None, bool]]:
+        """Positional clauses of a boolean query: each a string (exact
+        phrase), a (text, window) / (text, window, unordered) tuple, or a
+        dict {text, window, unordered}. window=None → exact adjacency;
+        a windowed clause defaults to unordered=True (Lucene "..."~N slop
+        is order-free)."""
+        out: list[tuple[str, int | None, bool]] = []
+        for p in (ph or []):
+            if isinstance(p, str):
+                out.append((p, None, False))
+            elif isinstance(p, dict):
+                w = p.get("window")
+                out.append((p["text"], None if w is None else int(w),
+                            bool(p.get("unordered", w is not None))))
+            else:
+                parts = tuple(p)
+                w = parts[1] if len(parts) > 1 else None
+                unord = (bool(parts[2]) if len(parts) > 2
+                         else w is not None)
+                out.append((parts[0], None if w is None else int(w), unord))
+        return out
+
+    specs: list[tuple] = []
     for q in queries:
         if isinstance(q, str):
             specs.append((q, mode, near_window, exclude, min_match,
                           expand_prefixes, _norm_after(after),
-                          _norm_boosts(boosts), _norm_syn(synonyms)))
+                          _norm_boosts(boosts), _norm_syn(synonyms),
+                          None, []))
         elif isinstance(q, dict):
             q_mode = q.get("mode") or mode
+            req = q.get("required")
             specs.append((
-                q["text"], q_mode,
+                q.get("text", ""), q_mode,
                 int(q.get("near_window", near_window)),
                 q.get("exclude", exclude),
                 int(q.get("min_match", min_match)),
@@ -641,6 +718,8 @@ def search_topk(
                 _norm_after(q.get("after", after)),
                 _norm_boosts(q.get("boosts", boosts)),
                 _norm_syn(q.get("synonyms", synonyms)),
+                ([req] if isinstance(req, str) else list(req)) if req else None,
+                _norm_phrases(q.get("phrases")),
             ))
         else:
             parts = tuple(q)
@@ -649,11 +728,12 @@ def search_topk(
                     else near_window)
             specs.append((parts[0], q_mode, q_nw, exclude, min_match,
                           expand_prefixes, _norm_after(after),
-                          _norm_boosts(boosts), _norm_syn(synonyms)))
+                          _norm_boosts(boosts), _norm_syn(synonyms),
+                          None, []))
     bad = sorted({s[1] for s in specs if s[1] not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    for _, m, _, _, mm, pf, _, _, sy in specs:
+    for _, m, _, _, mm, pf, _, _, sy, req, phs in specs:
         if mm and m != "any":
             raise ValueError(
                 "min_match applies to mode='any' only (mode='all' IS "
@@ -670,7 +750,17 @@ def search_topk(
                 "synonyms apply to plain mode='any' queries only (their "
                 "count/position semantics over expanded groups are "
                 "ambiguous in min_match/prefix/positional modes)")
-    any_positional = any(s[1] in POSITIONAL_MODES for s in specs)
+        if (req or phs) and m != "any":
+            raise ValueError(
+                "required terms / phrase clauses are boolean-query parts "
+                "(mode='any' base); the whole-query positional/conjunctive "
+                "modes cannot host them")
+        if (req or phs) and sy:
+            raise ValueError(
+                "synonyms cannot compose with required/phrase clauses "
+                "(expansion semantics over must clauses are ambiguous)")
+    any_positional = any(
+        s[1] in POSITIONAL_MODES or s[10] for s in specs)
     if any_positional and not bool(meta.get("store_positions", False)):
         raise ValueError(
             "phrase/near search requires an index built with "
@@ -684,7 +774,7 @@ def search_topk(
     uni = bool(meta.get("unicode", False))
     cache = idf_cache if idf_cache is not None else {}
     q_specs: list[list] = []
-    for text, m, nw, ex, mm, pf, af, bo, sy in specs:
+    for text, m, nw, ex, mm, pf, af, bo, sy, req, phs in specs:
         ex_terms = sorted(set(tokenize_py(ex, unicode=uni))) if ex else []
         if m in POSITIONAL_MODES:
             toks = tokenize_py(text, unicode=uni)
@@ -692,6 +782,20 @@ def search_topk(
             toks = ("*", *_parse_prefix_terms(text, uni))  # resolved below
         else:
             toks = sorted(set(tokenize_py(text, unicode=uni)))
+        # boolean-query clauses: must terms tokenize plainly (each word
+        # must reduce to index tokens — all become required); phrase
+        # clauses keep RAW ordered token lists like whole-query phrases
+        req_toks = (sorted({t for w in req
+                            for t in tokenize_py(w, unicode=uni)})
+                    if req else [])
+        chain_specs = []
+        for p_text, p_win, p_unord in phs:
+            c_toks = tokenize_py(p_text, unicode=uni)
+            if len(c_toks) < 2:
+                raise ValueError(
+                    f"phrase clause {p_text!r} must tokenize to at least "
+                    "two tokens (a single token is just a required term)")
+            chain_specs.append((c_toks, p_win, p_unord))
         if sy:
             # synonym keys/values tokenize with the SAME pinned index mode
             norm_sy: dict[str, list[str]] = {}
@@ -724,7 +828,8 @@ def search_topk(
                         "index token")
                 norm_bo[ts[0]] = w
             bo = norm_bo
-        q_specs.append([toks, m, nw, ex_terms, mm, af, bo])
+        q_specs.append([toks, m, nw, ex_terms, mm, af, bo, req_toks,
+                        chain_specs])
     need_stems = sorted({s for qs in q_specs if isinstance(qs[0], tuple)
                          for s in qs[0][2]})
     need_fuzz = sorted({f for qs in q_specs if isinstance(qs[0], tuple)
@@ -750,13 +855,19 @@ def search_topk(
     # the user DID type that term). A stray key is a typo, not a no-op.
     for qs in q_specs:
         if qs[6]:
-            stray = sorted(set(qs[6]) - set(qs[0]))
+            scope = (set(qs[0]) | set(qs[7])
+                     | {t for ct, _, _ in qs[8] for t in ct})
+            stray = sorted(set(qs[6]) - scope)
             if stray:
                 raise ValueError(
                     f"boost keys {stray} are not terms of their query "
-                    f"(terms: {sorted(set(qs[0]))})")
+                    f"(terms: {sorted(scope)})")
     q_specs = [tuple(qs) for qs in q_specs]
-    all_terms = sorted({t for ts, *_ in q_specs for t in ts})
+    all_terms = sorted(
+        {t for ts, *_ in q_specs for t in ts}
+        | {t for qs in q_specs for t in qs[7]}
+        | {t for qs in q_specs for ct, _, _ in qs[8] for t in ct}
+    )
     if not all_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
