@@ -544,7 +544,112 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
     )
 
 
-# one batch, nine predicate shapes, ONE Spark job (round-5: per-query
+# ---- boolean queries (query_string: the Lucene classic-QueryParser
+# subset): '+must' terms, exact-phrase AND windowed-proximity clauses,
+# a boosted should term, a should term for minimum_should_match, and a
+# must_not term — ALL composed in one query through the WAND kernel's
+# required-slot-groups + positional-chains machinery.
+QS_QUERY = '+scan "part filter" "table hash"~4 row^2 merge -dup'
+QS_MIN_MATCH = 1  # ≥1 of the SHOULD terms {merge, row} (Lucene counts
+#                   should clauses only when must/phrase clauses exist)
+
+
+def _q_query_string(spark, sf_dir):
+    """Query-string search end to end: parse the Lucene-style string,
+    compile to a boolean spec (required=[scan], exact chain 'part
+    filter', unordered window-4 chain 'table hash', boost row^2,
+    exclude dup, min_match=1 over {merge, row}), run as ONE search job
+    on the positional index. Oracle: the same clauses composed in SQL —
+    position-list predicates for the chains, per-term containment for
+    the must term, a FILTERed count for the should minimum."""
+    key = sf_dir + "#pos"
+    if key not in _ENGINE_CACHE:
+        _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
+    res = _ENGINE_CACHE[key].query_string(QS_QUERY, k=K,
+                                          min_match=QS_MIN_MATCH)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_bool_sql(should: list[str], required: list[str],
+                   chains: list[tuple[str, int | None]],
+                   exclude_terms: list[str] | None = None,
+                   boosts: dict[str, float] | None = None,
+                   min_match: int = 0, k: int = K) -> str:
+    """Boolean-query twin: BM25 sum over ALL clause terms (should ∪
+    required ∪ chain terms, boosts as a CASE multiplier), restricted to
+    docs that (a) contain every required term, (b) match every chain —
+    exact chains as token-string containment, windowed chains as the
+    any-anchor pairwise position check (order-free) — minus docs with
+    any excluded term, keeping only docs whose matched SHOULD-term count
+    reaches min_match (a FILTERed count over the should set)."""
+    chain_tok = [(tokenize_py(t), w) for t, w in chains]
+    all_terms = sorted(set(should) | set(required)
+                       | {t for ct, _ in chain_tok for t in ct})
+    vals = ", ".join(f"('{t}')" for t in all_terms)
+    pos = "list_filter(range(len(toks)), i -> toks[i+1] = '{t}')"
+    preds = [f"len(list_filter(toks, t -> t = '{t}')) > 0"
+             for t in required]
+    for ct, w in chain_tok:
+        if w is None:
+            needle = " " + " ".join(ct) + " "
+            preds.append("' ' || array_to_string(toks, ' ') || ' ' "
+                         f"LIKE '%{needle}%'")
+        else:
+            terms_d = sorted(set(ct))
+            p_of = {t: pos.format(t=t) for t in terms_d}
+            anchors = []
+            for t in terms_d:
+                others = " AND ".join(
+                    f"len(list_filter({p_of[o]}, q -> abs(q - p) <= {w})) > 0"
+                    for o in terms_d if o != t)
+                anchors.append(
+                    f"len(list_filter({p_of[t]}, p -> {others})) > 0")
+            preds.append("(" + "\n     OR ".join(anchors) + ")")
+    matched = "\n  AND ".join(preds)
+    if exclude_terms:
+        ets = ", ".join(f"'{t}'" for t in sorted(set(exclude_terms)))
+        filt = (f"WHERE tfx.doc_id NOT IN "
+                f"(SELECT DISTINCT doc_id FROM tfx WHERE term IN ({ets}))")
+    else:
+        filt = ""
+    if min_match and should:
+        sv = ", ".join(f"'{t}'" for t in sorted(set(should)))
+        having = (f"HAVING count(*) FILTER (WHERE tfx.term IN ({sv})) "
+                  f">= {int(min_match)}")
+    else:
+        having = ""
+    if boosts:
+        cases = " ".join(f"WHEN '{t}' THEN {float(w)!r}"
+                         for t, w in sorted(boosts.items()))
+        bw = f"(CASE tfx.term {cases} ELSE 1.0 END) * "
+    else:
+        bw = ""
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES {vals}),
+matched AS (SELECT doc_id FROM tok WHERE {matched}),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( {bw}LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  JOIN matched USING (doc_id)
+  CROSS JOIN stats
+  {filt}
+  GROUP BY tfx.doc_id
+  {having}
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+# one batch, thirteen predicate shapes, ONE Spark job (round-5: per-query
 # mode rides through the shard UDF; tools/mixed_mode_ab.py measures
 # ~3.3× over mode-segregated jobs at batch-10). The last five are dict
 # specs exercising the advanced predicates: NOT terms (must_not),
@@ -566,6 +671,10 @@ MIXED_BATCH = [
                   "zzz": ["row"]}},              # non-matching key ignored
     {"text": "*ow h?sh", "prefix": True},        # wildcards: leading-* scan
                                                  # + '?' single-char
+    (NEAR_UNORD_QUERY, "near_unordered", NEAR_UNORD_WINDOW),  # order-free
+                                                 # proximity (Lucene slop)
+    {"text": "row", "required": ["scan"],        # boolean query: must +
+     "phrases": [PHRASE_QUERY]},                 # exact chain + should
 ]
 
 
@@ -573,8 +682,9 @@ def _q_search_mixed_batch(spark, sf_dir):
     """Mixed-mode batched search: bag-of-words + conjunctive + phrase +
     proximity + NOT terms + minimum_should_match + prefix expansion +
     fuzzy expansion + per-term boosts + synonym expansion + wildcard
-    expansion in one job over the positional index. Oracle: the union
-    of the eleven single-predicate SQL twins, labeled by query_id."""
+    expansion + order-free proximity + a boolean (must + phrase-clause)
+    query in one job over the positional index. Oracle: the union of
+    the thirteen single-predicate SQL twins, labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -597,6 +707,8 @@ def _mixed_batch_sql(k: int = K) -> str:
         # ('zzz' matches no query token, so 'row' must NOT appear)
         _bm25_sql(["join", "hash", "scan"], k),
         _bm25_sql([], k, wildcards=["*ow", "h?sh"]),
+        _bm25_near_unordered_sql(NEAR_UNORD_QUERY, NEAR_UNORD_WINDOW, k),
+        _bm25_bool_sql(["row"], ["scan"], [(PHRASE_QUERY, None)], k=k),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
@@ -1224,8 +1336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "bm25_topk_phrase": _q_bm25_phrase,
         "bm25_rescore_phrase": _q_bm25_rescore,
-        "bm25_topk_near": _q_bm25_near,
-        "bm25_topk_near_unordered": _q_bm25_near_unordered,
+        # near / near_unordered ride search_mixed_batch since r5's
+        # query-string addition (window budget: 50 recorded rows)
+        "query_string_search": _q_query_string,
         "search_mixed_batch": _q_search_mixed_batch,
         "search_matches": _q_search_matches,
         "facet_lang_counts": _q_facet_lang,
@@ -1727,9 +1840,11 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "spell_suggest": _suggest_sql(sorted(SUGGEST_INPUTS.split())),
         "bm25_topk_phrase": _bm25_phrase_sql(PHRASE_QUERY),
         "bm25_rescore_phrase": _rescore_sql(PHRASE_QUERY),
-        "bm25_topk_near": _bm25_near_sql(NEAR_QUERY, NEAR_WINDOW),
-        "bm25_topk_near_unordered": _bm25_near_unordered_sql(
-            NEAR_UNORD_QUERY, NEAR_UNORD_WINDOW),
+        "query_string_search": _bm25_bool_sql(
+            ["merge", "row"], ["scan"],
+            [("part filter", None), ("table hash", 4)],
+            exclude_terms=["dup"], boosts={"row": 2.0},
+            min_match=QS_MIN_MATCH),
         "search_mixed_batch": _mixed_batch_sql(),
         "search_matches": _match_enum_sql(),
         "facet_lang_counts": _facet_sql(),

@@ -213,6 +213,11 @@ def main() -> None:
            lambda: pos_eng.searches(mixed10, k=10).collect())
     xtimed("x_rescore_phrase", lambda: pos_eng.rescore(
         "part filter", k=10, window_size=50, rescore_weight=0.5).collect())
+    # boolean query-string (must + exact chain + windowed chain + boost +
+    # must_not + minimum_should_match) — one job through the WAND kernel
+    xtimed("x_query_string", lambda: pos_eng.query_string(
+        '+scan "part filter" "table hash"~4 row^2 merge -dup',
+        k=10, min_match=1).collect())
     shutil.rmtree(pos_path, ignore_errors=True)
     # round-5 advanced predicates (NOT / min_match / prefix in one job),
     # match enumeration, and facet counts — on the non-positional index

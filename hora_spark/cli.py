@@ -99,6 +99,14 @@ def main(argv: list[str] | None = None) -> int:
                         "equal to TERM also match the ALTs, each scored "
                         "with its own idf; non-matching TERMs are "
                         "ignored (pass the whole table)")
+    s.add_argument("--query-string", action="store_true",
+                   help="parse each -q as a Lucene-style query string: "
+                        "'+must' terms, '-not' terms, '\"exact phrase\"' "
+                        "and '\"loose terms\"~N' proximity clauses "
+                        "(positional index required), 'term^W' boosts, "
+                        "and prefix/wildcard/fuzzy expansions — all in "
+                        "one boolean query per -q; --min-match then "
+                        "counts the should clauses only")
     s.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="deep-paging cursor (search_after): pass the "
                         "score,doc_id of the previous page's LAST row to "
@@ -287,14 +295,26 @@ def main(argv: list[str] | None = None) -> int:
                 for spec in args.synonym:
                     t, _, alts = spec.partition("=")
                     synonyms[t] = [a for a in alts.split(",") if a]
-            res = eng.searches(args.query, k=args.k, prune=not args.no_prune,
-                               filter_df=fdf, mode=args.mode,
-                               near_window=args.near_window,
-                               exclude=args.exclude,
-                               min_match=args.min_match,
-                               expand_prefixes=args.prefix,
-                               after=after, boosts=boosts,
-                               synonyms=synonyms)
+            if args.query_string:
+                from hora_spark.functions.qstring import parse_query_string
+
+                specs = [parse_query_string(q) for q in args.query]
+                if args.min_match:
+                    for sp in specs:
+                        sp["min_match"] = args.min_match
+                res = eng.searches(specs, k=args.k,
+                                   prune=not args.no_prune,
+                                   filter_df=fdf, after=after)
+            else:
+                res = eng.searches(args.query, k=args.k,
+                                   prune=not args.no_prune,
+                                   filter_df=fdf, mode=args.mode,
+                                   near_window=args.near_window,
+                                   exclude=args.exclude,
+                                   min_match=args.min_match,
+                                   expand_prefixes=args.prefix,
+                                   after=after, boosts=boosts,
+                                   synonyms=synonyms)
             for r in res.collect():
                 print(json.dumps({"query": args.query[r["query_id"]],
                                   "doc_id": r["doc_id"], "score": r["score"]}))

@@ -337,6 +337,22 @@ def build_index(
     if not staged and seg_dirs:
         store.commit({"segments": seg_dirs}, replace=False)
 
+    if resume and not all_shards and "avgdl" in store.meta():
+        # degenerate resume: every shard was already built AND the current
+        # snapshot already carries complete corpus stats. Recommitting
+        # would recompute stats over the FULL current segment set — which,
+        # if the index has since taken append deltas, silently absorbs
+        # them into the frozen stats (a rebuild in disguise, breaking the
+        # append-keeps-stats-frozen contract). A completed build's resume
+        # is a no-op: report and leave the snapshot untouched.
+        return {
+            "build_id": build_id,
+            "version": store.current_version(),
+            "n_shards": n_shards,
+            "shards_built": 0,
+            "shards_skipped": len(done_segs),
+        }
+
     # ---- metadata: stats + real lineage + meta (one pruned read) -----------
     all_seg_dirs = store.tables().get("segments", [])
     _commit_stats_and_lineage(

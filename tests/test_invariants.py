@@ -129,6 +129,36 @@ def test_resume_equals_uninterrupted(spark, transcripts, tmp_path):
     shutil.rmtree(p_part, ignore_errors=True)
 
 
+def test_resume_of_complete_index_is_noop(spark, transcripts, tmp_path):
+    """A --resume over an ALREADY COMPLETE index must not commit: the
+    final stats recommit would recompute corpus stats over the full
+    current segment set, silently absorbing any append deltas into the
+    frozen stats (a rebuild in disguise). Pin: version unchanged, avgdl
+    unchanged, scores unchanged — with an append delta present."""
+    from hora_spark.streaming.incremental import append_build
+
+    p = str(tmp_path / "noopres")
+    eng = Engine(spark, p, CFG)
+    half = transcripts.filter(F.col("turn_idx") % 2 == 0)
+    eng.build(half, id_col=None, order_cols=["conv_id", "turn_idx"])
+    append_build(spark, eng.store, transcripts.filter(F.col("turn_idx") % 2 == 1),
+                 order_cols=["conv_id", "turn_idx"], cfg=eng.cfg,
+                 batch_id="delta-odd")
+    v0 = eng.store.current_version()
+    avgdl0 = float(eng.store.meta()["avgdl"])
+    before = [(r["doc_id"], r["score"])
+              for r in eng.search(QUERIES[0], k=10).collect()]
+    info = eng.build(half, id_col=None, order_cols=["conv_id", "turn_idx"],
+                     resume=True)
+    assert info["shards_built"] == 0
+    assert eng.store.current_version() == v0, "no-op resume must not commit"
+    assert float(eng.store.meta()["avgdl"]) == avgdl0, "stats must stay frozen"
+    after = [(r["doc_id"], r["score"])
+             for r in eng.search(QUERIES[0], k=10).collect()]
+    assert before == after
+    shutil.rmtree(p, ignore_errors=True)
+
+
 def test_time_travel_versions(spark, transcripts, tmp_path):
     """Snapshot versions are immutable: a query at an old version still
     runs after later commits (VERSION AS OF semantics)."""
