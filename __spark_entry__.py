@@ -766,6 +766,45 @@ def _q_facet_lang(spark, sf_dir):
                       "score_avg", "score_max")
 
 
+SIGTERMS_K, SIGTERMS_MIN_DC = 15, 2
+
+
+def _q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (ES significant_terms, JLH): the
+    hot query's match set is tokenized (matched docs only), each term's
+    foreground doc count is compared to its background df, and the top
+    15 terms by rounded JLH score are returned. Oracle: the same rates
+    and rounding derived from the tokenized-corpus CTEs."""
+    eng = _engine(spark, sf_dir)
+    res = eng.significant_terms([" ".join(HOT_QUERY)], _docs(spark, sf_dir),
+                                k_terms=SIGTERMS_K,
+                                min_doc_count=SIGTERMS_MIN_DC)
+    return res.select("term", "fg_count", "bg_count", "score", "rnk")
+
+
+def _significant_terms_sql(terms: list[str], k_terms: int = SIGTERMS_K,
+                           min_dc: int = SIGTERMS_MIN_DC) -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES {vals}),
+m AS (SELECT DISTINCT doc_id FROM tfx JOIN q USING (term)),
+fgt AS (SELECT count(*) AS fg_docs FROM m),
+fg AS (SELECT term, count(*) AS fg_count
+       FROM tfx JOIN m USING (doc_id) GROUP BY term
+       HAVING count(*) >= {int(min_dc)}),
+sc AS (SELECT term, fg_count, df AS bg_count,
+         ROUND((CAST(fg_count AS DOUBLE)/fg_docs - CAST(df AS DOUBLE)/N)
+               * ((CAST(fg_count AS DOUBLE)/fg_docs) / (CAST(df AS DOUBLE)/N)), 6) AS score
+       FROM fg JOIN dfs USING (term) CROSS JOIN fgt CROSS JOIN stats)
+SELECT term, fg_count, bg_count, score,
+       CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS INT) AS rnk
+FROM sc ORDER BY score DESC, term ASC LIMIT {int(k_terms)}
+"""
+    )
+
+
 def _facet_sql() -> str:
     parts = []
     for qi, q in enumerate(FACET_QUERIES):
@@ -1342,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mixed_batch": _q_search_mixed_batch,
         "search_matches": _q_search_matches,
         "facet_lang_counts": _q_facet_lang,
+        "significant_terms": _q_significant_terms,
         "search_snippets": _q_search_snippets,
         "route_matches": _q_route_matches,
         "topk_per_term": _q_topk_per_term,
@@ -1848,6 +1888,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
         "search_mixed_batch": _mixed_batch_sql(),
         "search_matches": _match_enum_sql(),
         "facet_lang_counts": _facet_sql(),
+        "significant_terms": _significant_terms_sql(HOT_QUERY),
         "search_snippets": (
             "WITH topk AS (" + _bm25_sql(MID_QUERY) + ") "
             "SELECT t.doc_id, t.score, d.text, "

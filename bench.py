@@ -218,6 +218,10 @@ def main() -> None:
     xtimed("x_query_string", lambda: pos_eng.query_string(
         '+scan "part filter" "table hash"~4 row^2 merge -dup',
         k=10, min_match=1).collect())
+    # significant-terms aggregation: match enumeration + matched-docs
+    # tokenize + JLH vs the background dictionary
+    xtimed("x_significant_terms", lambda: eng.significant_terms(
+        ["join hash row"], docs, k_terms=15).collect())
     shutil.rmtree(pos_path, ignore_errors=True)
     # round-5 advanced predicates (NOT / min_match / prefix in one job),
     # match enumeration, and facet counts — on the non-positional index

@@ -301,6 +301,24 @@ class Engine:
             **kw,
         )
 
+    def significant_terms(self, queries: list, docs_df: DataFrame,
+                          k_terms: int = 10, min_doc_count: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          **kw) -> DataFrame:
+        """Significant-terms aggregation (ES significant_terms, JLH):
+        terms overrepresented in each query's match set vs the background
+        corpus → DataFrame(query_id, term, fg_count, bg_count, score,
+        rnk), top k_terms per query. kw = any matches() option (mode,
+        exclude, min_match, expand_prefixes, filter_df)."""
+        v = (self.store.current_version() if kw.get("version") is None
+             else kw["version"])
+        cache = self._idf_caches.setdefault(v, {})
+        return _query.significant_terms(
+            self.spark, self.store, queries, docs_df, k_terms=k_terms,
+            min_doc_count=min_doc_count, text_col=text_col, id_col=id_col,
+            cfg=self.cfg, idf_cache=cache, **kw,
+        )
+
     def search_filtered(self, query: str, filter_df: DataFrame,
                         k: int | None = None, prune: bool = True,
                         version: int | None = None) -> DataFrame:

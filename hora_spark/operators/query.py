@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hora_spark.config import EngineConfig
-from hora_spark.functions.tokenize import tokenize_py
+from hora_spark.functions.tokenize import tokenize_py, tokens_col
 from hora_spark.functions.wand import TermPosting, shard_topk
 from hora_spark.operators.segments import NORMS_TERM
 from hora_spark.sources.storage import SnapshotStore
@@ -1072,6 +1072,80 @@ def facet_counts(
         .join(facets, "doc_id")
         .groupBy("query_id", "facet")
         .agg(*aggs)
+    )
+
+
+def significant_terms(
+    spark: SparkSession,
+    store: SnapshotStore,
+    queries: list,
+    docs_df: DataFrame,
+    k_terms: int = 10,
+    min_doc_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Significant-terms aggregation (the ES significant_terms bucket agg,
+    JLH heuristic): terms OVERREPRESENTED in each query's match set
+    relative to the background corpus →
+    DataFrame(query_id, term, fg_count, bg_count, score, rnk), top
+    k_terms per query by (score DESC, term ASC).
+
+    fg_count = matching docs containing the term (the match set comes
+    from search_matches, so every search option composes — modes,
+    filters, NOT terms); bg_count = the index's document frequency (the
+    stats table, background INCLUDES the foreground — ES's default
+    superset convention); score = JLH:
+        (fg_rate − bg_rate) · (fg_rate / bg_rate)
+    with fg_rate = fg_count/|matches|, bg_rate = bg_count/N. The score
+    is ROUNDED to 6dp before ranking so the selection is reproducible
+    across engines (same convention as mlt_select_terms); min_doc_count
+    drops noise terms (ES's min_doc_count).
+
+    Plan: one match-enumeration job → join matched ids to the docs
+    table (sort-merge at scale) → tokenize ONLY matched docs (JVM
+    split, codegen) → explode distinct tokens → map-side-combined
+    count per (query, term) → join the vocabulary-sized stats table
+    (broadcast-able) → per-query top-k window. No driver state, no
+    corpus-wide tokenize: cost scales with the MATCH set, not the
+    corpus."""
+    version = kw.get("version")
+    meta = store.meta(version)
+    n_docs = int(meta["n_docs"])
+    uni = bool(meta.get("unicode", False))
+    matches = search_matches(spark, store, queries, **kw)
+    fg_tot = matches.groupBy("query_id").agg(F.count("*").alias("fg_docs"))
+    docs = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(F.col(text_col), unicode=uni).alias("toks"),
+    )
+    fg = (
+        matches.select("query_id", "doc_id")
+        .join(docs, "doc_id")
+        .select("query_id",
+                F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg_count"))
+        .filter(F.col("fg_count") >= int(min_doc_count))
+    )
+    bg = store.read("stats", version).select(
+        "term", F.col("df").alias("bg_count"))
+    fg_rate = F.col("fg_count") / F.col("fg_docs")
+    bg_rate = F.col("bg_count") / F.lit(float(n_docs))
+    scored = (
+        fg.join(bg, "term")  # every fg term is in the dictionary
+        .join(fg_tot, "query_id")
+        .withColumn("score",
+                    F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k_terms))
+        .select("query_id", "term", "fg_count", "bg_count", "score", "rnk")
+        .orderBy("query_id", "rnk")
     )
 
 
