@@ -93,15 +93,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------ BM25 family --
 
 def _q_doc_stats(spark, sf_dir):
+    """Per-doc token lengths PLUS the corpus aggregates as constant
+    columns (r5: consolidates the former separate corpus_stats entry so
+    the 50-slot driver window gains room — both dataflows stay verified:
+    the per-doc scan/tokenize AND the count/avg aggregation)."""
     c = _corpus(spark, sf_dir)
-    return c.docs.select("doc_id", F.col("dl").alias("dl")).orderBy("doc_id")
-
-
-def _q_corpus_stats(spark, sf_dir):
-    c = _corpus(spark, sf_dir)
-    return spark.createDataFrame(
-        [(c.n_docs, round(c.avgdl, 6))], "n_docs long, avgdl double"
-    )
+    stats = spark.createDataFrame(
+        [(c.n_docs, round(c.avgdl, 6))], "n_docs long, avgdl double")
+    return (c.docs.select("doc_id", F.col("dl").alias("dl"))
+            .crossJoin(F.broadcast(stats)).orderBy("doc_id"))
 
 
 def _q_term_stats(spark, sf_dir):
@@ -223,8 +223,14 @@ def _q_bm25_phrase(spark, sf_dir):
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         path = tempfile.mkdtemp(prefix="hora_idx_pos_")
+        # the positional fixture also carries fielded-filter postings
+        # (lang:*/source:*) — fields compose with every search mode and
+        # test_fields pins that field postings leave text scoring and
+        # corpus stats byte-identical, so every query sharing this
+        # engine is unaffected
         eng = Engine(spark, path, EngineConfig(index=IndexConfig(
-            block_size=32, n_buckets=8, store_positions=True)))
+            block_size=32, n_buckets=8, store_positions=True,
+            field_cols=("lang", "source"))))
         eng.build(_docs(spark, sf_dir), id_col="doc_id")
         _ENGINE_CACHE[key] = eng
     res = _ENGINE_CACHE[key].search(PHRASE_QUERY, k=K, mode="phrase")
@@ -649,7 +655,7 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
     )
 
 
-# one batch, thirteen predicate shapes, ONE Spark job (round-5: per-query
+# one batch, fifteen predicate shapes, ONE Spark job (round-5: per-query
 # mode rides through the shard UDF; tools/mixed_mode_ab.py measures
 # ~3.3× over mode-segregated jobs at batch-10). The last five are dict
 # specs exercising the advanced predicates: NOT terms (must_not),
@@ -675,6 +681,15 @@ MIXED_BATCH = [
                                                  # proximity (Lucene slop)
     {"text": "row", "required": ["scan"],        # boolean query: must +
      "phrases": [PHRASE_QUERY]},                 # exact chain + should
+    {"text": "join",                             # dis_max: synonym
+     "synonyms": {"join": ["hash", "scan"]},     # expansion scored
+     "score_mode": "dismax", "tie_breaker": 0.3},  # best-variant + tb·rest
+    {"text": " ".join(MID_QUERY),                # index-resident fielded
+     "fields": {"lang": "en"},                   # filters: lang:en AND
+     "fields_not": {"source": "src1"}},          # NOT source:src1 — the
+                                                 # '<field>:<tok>' postings
+                                                 # intersect inside the
+                                                 # shard UDF, no docs scan
 ]
 
 
@@ -683,8 +698,10 @@ def _q_search_mixed_batch(spark, sf_dir):
     proximity + NOT terms + minimum_should_match + prefix expansion +
     fuzzy expansion + per-term boosts + synonym expansion + wildcard
     expansion + order-free proximity + a boolean (must + phrase-clause)
-    query in one job over the positional index. Oracle: the union of
-    the thirteen single-predicate SQL twins, labeled by query_id."""
+    query + dis_max-scored synonym expansion + index-resident fielded
+    filters (lang:en, -source:src1) in one job over the positional
+    index. Oracle: the union of the fifteen single-predicate SQL
+    twins, labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -709,6 +726,11 @@ def _mixed_batch_sql(k: int = K) -> str:
         _bm25_sql([], k, wildcards=["*ow", "h?sh"]),
         _bm25_near_unordered_sql(NEAR_UNORD_QUERY, NEAR_UNORD_WINDOW, k),
         _bm25_bool_sql(["row"], ["scan"], [(PHRASE_QUERY, None)], k=k),
+        _bm25_sql(["join", "hash", "scan"], k, dismax_tb=0.3),
+        # fielded filters: lang/source are single-token values, so the
+        # engine's token-level field match == the SQL equality predicate
+        _bm25_sql(MID_QUERY, k,
+                  keep_where="lang = 'en' AND source <> 'src1'"),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
@@ -724,6 +746,55 @@ MATCH_ENUM_BATCH = [
     {"text": " ".join(MIX_QUERY), "min_match": 2},
     {"text": " ".join(HOT_QUERY), "exclude": " ".join(RARE_QUERY)},
 ]
+
+
+COLLAPSE_PER_GROUP = 2
+
+
+def _q_search_collapse(spark, sf_dir):
+    """Field collapsing (ES collapse): top-K over the hot query keeping
+    at most 2 docs per `source` value — exact over the full match set
+    (match enumeration → docs join → two windowed group-limits; see
+    operators/collapse.py for why the in-UDF pruned form was rejected).
+    Oracle: the scored CTE joined to documents, ROW_NUMBER per source on
+    RAW scores (the engine ranks raw doubles, rounds once at output),
+    rn ≤ per_group, then the global top-K."""
+    eng = _engine(spark, sf_dir)
+    res = eng.collapse([" ".join(HOT_QUERY)], _docs(spark, sf_dir),
+                       "source", k=K, per_group=COLLAPSE_PER_GROUP)
+    return res.select("doc_id", F.round("score", 6).alias("score"),
+                      "source")
+
+
+def _collapse_sql(terms: list[str], k: int = K,
+                  per_group: int = COLLAPSE_PER_GROUP) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return (
+        BM25_CTES
+        + f""",
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT tfx.doc_id,
+         sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
+              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+  FROM tfx
+  JOIN docs USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN q USING (term)
+  CROSS JOIN stats
+  GROUP BY tfx.doc_id
+),
+keyed AS (
+  SELECT scored.doc_id, scored.s, d.source,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY scored.s DESC, scored.doc_id ASC) AS grp_rn
+  FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score, source
+FROM keyed WHERE grp_rn <= {int(per_group)}
+ORDER BY s DESC, doc_id ASC LIMIT {int(k)}
+"""
+    )
 
 
 def _q_search_matches(spark, sf_dir):
@@ -755,15 +826,18 @@ def _q_facet_lang(spark, sf_dir):
     """Facet panel (Engine.facets): counts of ALL matching docs per
     (query, lang) — match enumeration joined to a docs-table column,
     then a map-side-combined count per (query_id, facet value) — plus
-    per-bucket stats (ES stats sub-aggregation, r5): avg/max of the
-    docs-table n_chars column and of the match's BM25 score."""
+    per-bucket stats (ES stats sub-aggregation, r5): avg/max/exact-p50
+    of the docs-table n_chars column, avg/max of the match's BM25
+    score, and an exact distinct count of source per bucket (the
+    honest ES cardinality/percentiles aggs — no sketch error)."""
     eng = _engine(spark, sf_dir)
     res = eng.facets(FACET_QUERIES, _docs(spark, sf_dir), "lang",
-                     metrics={"n_chars": ["avg", "max"],
-                              "score": ["avg", "max"]})
+                     metrics={"n_chars": ["avg", "max", "p50"],
+                              "score": ["avg", "max"],
+                              "source": ["distinct"]})
     return res.select("query_id", "facet", "n_docs",
-                      "n_chars_avg", "n_chars_max",
-                      "score_avg", "score_max")
+                      "n_chars_avg", "n_chars_max", "n_chars_p50",
+                      "score_avg", "score_max", "source_distinct")
 
 
 SIGTERMS_K, SIGTERMS_MIN_DC = 15, 2
@@ -812,7 +886,9 @@ def _facet_sql() -> str:
         parts.append(
             f"""SELECT {qi} AS query_id, d.lang AS facet, count(*) AS n_docs,
        ROUND(avg(d.n_chars), 6) AS n_chars_avg, max(d.n_chars) AS n_chars_max,
-       ROUND(avg(m.s), 6) AS score_avg, ROUND(max(m.s), 6) AS score_max
+       ROUND(quantile_cont(d.n_chars, 0.5), 6) AS n_chars_p50,
+       ROUND(avg(m.s), 6) AS score_avg, ROUND(max(m.s), 6) AS score_max,
+       count(DISTINCT d.source) AS source_distinct
 FROM (SELECT tfx.doc_id,
              sum( LN((N - df + 0.5) / (df + 0.5) + 1.0)
                   * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
@@ -1356,8 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 / inverted index family (brute family and the indexed
         # batch are consolidated into labeled multi-query entries so all
         # operators fit the driver's 50-row correctness window, r5)
-        "doc_stats": _q_doc_stats,
-        "corpus_stats": _q_corpus_stats,
+        "doc_stats": _q_doc_stats,  # includes corpus n_docs/avgdl (r5)
         "term_df_idf": _q_term_stats,
         "tf_sample": _q_tf_sample,
         "bm25_topk_multi": _q_bm25_topk_multi,
@@ -1380,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_search": _q_query_string,
         "search_mixed_batch": _q_search_mixed_batch,
         "search_matches": _q_search_matches,
+        "search_collapse": _q_search_collapse,
         "facet_lang_counts": _q_facet_lang,
         "significant_terms": _q_significant_terms,
         "search_snippets": _q_search_snippets,
@@ -1444,7 +1520,8 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
               fuzzy_specs: list[tuple[str, int]] | None = None,
               wildcards: list[str] | None = None,
               boosts: dict[str, float] | None = None,
-              enumerate_all: bool = False, offset: int = 0) -> str:
+              enumerate_all: bool = False, offset: int = 0,
+              dismax_tb: float | None = None) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
     stats stay over all docs), matching frozen-stats delete semantics.
     keep_where: SQL predicate over the documents table selecting the
@@ -1514,14 +1591,22 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
         bw = f"(CASE term {cases} ELSE 1.0 END) * "
     else:
         bw = ""
+    contrib = (f"{bw}LN((N - df + 0.5) / (df + 0.5) + 1.0)"
+               f" * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + "
+               f"{BM25.b} * docs.dl / avgdl))")
+    if dismax_tb is None:
+        s_expr = f"sum( {contrib} )"
+    else:
+        # dis_max combiner: best clause + tb·(sum − best)
+        s_expr = (f"(max( {contrib} ) + {float(dismax_tb)!r} * "
+                  f"(sum( {contrib} ) - max( {contrib} )))")
     return (
         BM25_CTES
         + f""",
 {q_cte},
 scored AS (
   SELECT tfx.doc_id,
-         sum( {bw}LN((N - df + 0.5) / (df + 0.5) + 1.0)
-              * tfx.tf / (tfx.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * docs.dl / avgdl)) ) AS s
+         {s_expr} AS s
   FROM tfx
   JOIN docs USING (doc_id)
   JOIN dfs USING (term)
@@ -1849,9 +1934,9 @@ def oracle_sql(sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
 def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
     sw = "', '".join(textstats.EN_STOPWORDS)
     o = {
-        "doc_stats": BM25_CTES + "SELECT doc_id, dl FROM docs ORDER BY doc_id",
-        "corpus_stats": BM25_CTES
-        + "SELECT N AS n_docs, ROUND(avgdl, 6) AS avgdl FROM stats",
+        "doc_stats": BM25_CTES
+        + """SELECT doc_id, dl, N AS n_docs, ROUND(avgdl, 6) AS avgdl
+             FROM docs CROSS JOIN stats ORDER BY doc_id""",
         "term_df_idf": BM25_CTES
         + """SELECT dfs.term, df, ROUND(LN((N - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
              FROM dfs CROSS JOIN stats ORDER BY df DESC, term ASC""",
@@ -1887,6 +1972,7 @@ def _oracle_sql_cached(sf_dir: str) -> dict[str, str]:
             min_match=QS_MIN_MATCH),
         "search_mixed_batch": _mixed_batch_sql(),
         "search_matches": _match_enum_sql(),
+        "search_collapse": _collapse_sql(HOT_QUERY),
         "facet_lang_counts": _facet_sql(),
         "significant_terms": _significant_terms_sql(HOT_QUERY),
         "search_snippets": (

@@ -196,7 +196,8 @@ def main() -> None:
     # positional build + phrase on its own index (opt-in layout)
     pos_path = tempfile.mkdtemp(prefix="hora_bench_pos_")
     pos_eng = Engine(spark, pos_path, EngineConfig(index=IndexConfig(
-        block_size=128, n_buckets=16, store_positions=True)))
+        block_size=128, n_buckets=16, store_positions=True,
+        field_cols=("lang", "source"))))
     xtimed("x_index_build_positions", lambda: pos_eng.build(docs, id_col="doc_id"))
     xtimed("x_search_phrase", lambda: pos_eng.search(
         "part filter", k=10, mode="phrase").collect())
@@ -213,6 +214,20 @@ def main() -> None:
            lambda: pos_eng.searches(mixed10, k=10).collect())
     xtimed("x_rescore_phrase", lambda: pos_eng.rescore(
         "part filter", k=10, window_size=50, rescore_weight=0.5).collect())
+    # dis_max combiner (synonym-expansion scoring) on the base index
+    xtimed("x_search_dismax", lambda: eng.search(
+        "join hash scan", k=10, score_mode="dismax",
+        tie_breaker=0.3).collect())
+    # index-resident fielded filters: '<field>:<tok>' postings intersect
+    # inside the shard UDF — compare x_search_filtered (keep-list form,
+    # which scans the documents table) for the same logical filter
+    xtimed("x_search_fielded", lambda: pos_eng.search(
+        "join hash row", k=10, fields={"lang": "en"},
+        fields_not={"source": "src1"}).collect())
+    # field collapsing: exact over the full match set (enumeration +
+    # docs join + two windowed group-limits)
+    xtimed("x_search_collapse", lambda: eng.collapse(
+        ["join hash row"], docs, "source", k=10, per_group=2).collect())
     # boolean query-string (must + exact chain + windowed chain + boost +
     # must_not + minimum_should_match) — one job through the WAND kernel
     xtimed("x_query_string", lambda: pos_eng.query_string(

@@ -88,6 +88,17 @@ class IndexConfig:
     # Costs ~1-2 bytes per token occurrence; off by default. Recorded in
     # the snapshot meta; mode="phrase" searches require it.
     store_positions: bool = False
+    # fielded-filter columns (ES keyword / filter-context fields): each
+    # listed metadata column of the source table is tokenized with the
+    # pinned tokenizer and stored as '<field>:<token>' postings in the
+    # same segment layout. Queries filter on them index-residently
+    # (fields={'lang': 'en'}) as zero-score must clauses — the postings
+    # intersect inside the shard UDF, so no documents-table scan or
+    # cogroup rides the query. ':' is unreachable by the tokenizer, so
+    # field terms never collide with (or score as) text terms, and
+    # corpus stats (N, avgdl, text-term df) are byte-identical with and
+    # without fields. Recorded in the snapshot meta; appends follow it.
+    field_cols: tuple = ()
 
     def n_shards_for(self, id_span: int) -> int:
         """Shard count for a corpus occupying doc ids [0, id_span).

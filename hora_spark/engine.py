@@ -69,7 +69,11 @@ class Engine:
                min_match: int = 0, expand_prefixes: bool = False,
                after: tuple[float, int] | None = None,
                boosts: dict[str, float] | None = None,
-               synonyms: dict[str, list] | None = None) -> DataFrame:
+               synonyms: dict[str, list] | None = None,
+               score_mode: str = "sum",
+               tie_breaker: float = 0.0,
+               fields: dict | None = None,
+               fields_not: dict | None = None) -> DataFrame:
         """mode='all' gives conjunctive (AND) semantics — only docs
         matching every query term, scored with the same BM25 sums.
         mode='phrase' requires exact token adjacency, mode='near'
@@ -100,7 +104,9 @@ class Engine:
                              exclude=exclude, min_match=min_match,
                              expand_prefixes=expand_prefixes,
                              after=after, boosts=boosts,
-                             synonyms=synonyms).drop("query_id")
+                             synonyms=synonyms, score_mode=score_mode,
+                             tie_breaker=tie_breaker, fields=fields,
+                             fields_not=fields_not).drop("query_id")
 
     def searches(self, queries: list, k: int | None = None, prune: bool = True,
                  version: int | None = None, filter_df: DataFrame | None = None,
@@ -109,7 +115,11 @@ class Engine:
                  expand_prefixes: bool = False,
                  after: tuple[float, int] | None = None,
                  boosts: dict[str, float] | None = None,
-                 synonyms: dict[str, list] | None = None) -> DataFrame:
+                 synonyms: dict[str, list] | None = None,
+                 score_mode: str = "sum",
+                 tie_breaker: float = 0.0,
+                 fields: dict | None = None,
+                 fields_not: dict | None = None) -> DataFrame:
         """Batched search: ONE Spark job for any number of queries.
         Each element of `queries` is a string (searched with the
         call-level options), a (text, mode) / (text, mode, near_window)
@@ -127,7 +137,8 @@ class Engine:
             filter_df=filter_df, mode=mode, near_window=near_window,
             exclude=exclude, min_match=min_match,
             expand_prefixes=expand_prefixes, after=after, boosts=boosts,
-            synonyms=synonyms,
+            synonyms=synonyms, score_mode=score_mode,
+            tie_breaker=tie_breaker, fields=fields, fields_not=fields_not,
         )
 
     def query_string(self, q: str, k: int | None = None,
@@ -317,6 +328,28 @@ class Engine:
             self.spark, self.store, queries, docs_df, k_terms=k_terms,
             min_doc_count=min_doc_count, text_col=text_col, id_col=id_col,
             cfg=self.cfg, idf_cache=cache, **kw,
+        )
+
+    def collapse(self, queries: list, docs_df: DataFrame,
+                 collapse_col: str, k: int = 10, per_group: int = 1,
+                 id_col: str = "doc_id", **kw) -> DataFrame:
+        """Field collapsing (ES collapse / inner_hits): top-k per query
+        with at most per_group docs per collapse-key value ("best turn
+        per conversation") → DataFrame(query_id, doc_id, score,
+        <collapse_col>), ordered (query_id, score DESC, doc_id ASC).
+        Exact: the collapse runs over the full match set (see
+        operators/collapse.py for the plan and why an in-UDF pruned form
+        was rejected). kw = any search option (mode, exclude, fields,
+        min_match, filter_df, ...)."""
+        from hora_spark.operators.collapse import search_collapse
+
+        v = (self.store.current_version() if kw.get("version") is None
+             else kw["version"])
+        cache = self._idf_caches.setdefault(v, {})
+        return search_collapse(
+            self.spark, self.store, queries, docs_df, collapse_col,
+            k=k, per_group=per_group, id_col=id_col, cfg=self.cfg,
+            idf_cache=cache, **kw,
         )
 
     def search_filtered(self, query: str, filter_df: DataFrame,

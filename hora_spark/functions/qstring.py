@@ -27,11 +27,18 @@ Grammar (flat boolean, whitespace-separated clauses):
                   SHOULD clauses only; '+'/'-'/boost cannot compose with
                   an expansion (the clause identity would be ambiguous
                   over the expanded set)
+  field:value     fielded FILTER clause (ES filter context) over the
+                  index's IndexConfig.field_cols: required, scores 0.
+                  Repeating a field ("lang:en lang:de") ORs its values;
+                  distinct fields AND. '-field:value' excludes matching
+                  docs; '+field:value' is accepted (filters are already
+                  required). Boosting or expanding a filter is an error
+                  (it never scores / the dictionary excludes field terms).
 
 Not supported (documented scope, errors are loud): nested parentheses,
-field prefixes ("title:x" — single-field index), OR/AND keywords (bare
-words are OR'd; use '+' for AND), escaped quotes inside phrases, and
-must_not phrases (exclusion is term-granular in the engine).
+OR/AND keywords (bare words are OR'd; use '+' for AND), escaped quotes
+inside phrases, and must_not phrases (exclusion is term-granular in the
+engine).
 
 minimum_should_match is a search-time setting, not query syntax — pass it
 alongside (Engine.query_string(min_match=...)); with must/phrase clauses
@@ -81,6 +88,8 @@ def parse_query_string(q: str) -> dict:
     required: list[str] = []
     exclude: list[str] = []
     boosts: dict[str, float] = {}
+    fields: dict[str, list[str]] = {}
+    fields_not: dict[str, list[str]] = {}
     any_expansion = False
     for w in rest.split():
         sign = ""
@@ -94,6 +103,22 @@ def parse_query_string(q: str) -> dict:
             w, weight = bm.group("body"), float(bm.group("w"))
             if not weight > 0:
                 raise ValueError(f"boost must be > 0 in {w!r}^{weight}")
+        if ":" in w:
+            f, _, v = w.partition(":")
+            if not f or not v:
+                raise ValueError(
+                    f"malformed field clause {w!r} (want field:value)")
+            if weight is not None:
+                raise ValueError(
+                    f"boosting field clause {w!r} is meaningless "
+                    "(filters score 0)")
+            if "*" in v or "?" in v or _FUZZY_SUFFIX_RE.match(v):
+                raise ValueError(
+                    f"field clause {w!r} cannot carry an expansion "
+                    "(field terms are excluded from the dictionary)")
+            (fields_not if sign == "-" else fields).setdefault(
+                f, []).append(v)
+            continue
         is_expansion = ("*" in w or "?" in w
                         or bool(_FUZZY_SUFFIX_RE.match(w)))
         if is_expansion:
@@ -134,4 +159,8 @@ def parse_query_string(q: str) -> dict:
         spec["phrases"] = phrases
     if any_expansion:
         spec["prefix"] = True
+    if fields:
+        spec["fields"] = fields
+    if fields_not:
+        spec["fields_not"] = fields_not
     return spec

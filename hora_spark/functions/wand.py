@@ -173,10 +173,19 @@ def _score_terms_on_docs(
     required: list[list[int]] | None = None,
     chains: list[tuple[list[tuple[int, list[int]]], int | None, bool]] | None = None,
     after: tuple[float, int] | None = None,
+    dismax_tb: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
     (sorted by term at the call site) → deterministic float sums.
+
+    dismax_tb: disjunction-max score combiner (Lucene DisjunctionMaxQuery
+    / ES dis_max): None = BM25 sum (default); a float in [0, 1] switches
+    each doc's score to  max_contrib + tb·(sum − max_contrib)  over its
+    matched terms — tb=0 is pure best-clause, tb=1 degenerates to the
+    sum. Qualification (min_match/required/chains) is unchanged; only
+    the combiner differs. max is order-independent and the sum keeps the
+    pinned order, so scores stay deterministic.
 
     min_match > 0 keeps only docs matched by at least that many DISTINCT
     query terms (conjunctive search passes len(query terms)). Counting
@@ -262,6 +271,15 @@ def _score_terms_on_docs(
     uids, inv = np.unique(cat_ids, return_inverse=True)
     scores = np.zeros(len(uids), dtype=np.float64)
     np.add.at(scores, inv, cat_con)
+    if dismax_tb is not None:
+        # best-clause combiner: every (doc, term) pair contributes exactly
+        # one entry (disjoint posting sources), so the per-doc max over
+        # entries IS the max over matched terms. The interval's summed
+        # block_max still dominates (tb ≤ 1 ⇒ dismax ≤ sum), so block-max
+        # pruning stays exact with θ tracking dismax scores.
+        maxes = np.full(len(uids), -np.inf)
+        np.maximum.at(maxes, inv, cat_con)
+        scores = maxes + dismax_tb * (scores - maxes)
     if min_match > 1 or (min_match >= 1 and min_match_slots is not None):
         counts = np.zeros(len(uids), dtype=np.int64)
         if min_match_slots is None:
@@ -412,8 +430,15 @@ def shard_topk(
     near_window: int | None = None,
     near_unordered: bool = False,
     after: tuple[float, int] | None = None,
+    dismax_tb: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
+
+    dismax_tb: disjunction-max combiner (see _score_terms_on_docs) —
+    per-doc score = max_contrib + tb·(sum − max_contrib). Contributions
+    are positive (idf > 0, boosts > 0) and tb ∈ [0, 1], so dismax ≤ sum
+    ≤ the interval's summed block_max: pruning stays exact with θ
+    tracking the k-th qualified DISMAX score.
 
     after: (score, doc_id) deep-paging cursor — only docs strictly after
     it in (score DESC, doc_id ASC) order qualify; θ then tracks the k-th
@@ -471,7 +496,7 @@ def shard_topk(
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
             deleted, allowed, min_match, min_match_slots, required, chains,
-            after,
+            after, dismax_tb,
         )
         return (ids, scores) if k is None else _topk(ids, scores, k)
 
@@ -535,7 +560,7 @@ def shard_topk(
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
                 avgdl, k1, b, deleted, allowed, min_match, min_match_slots,
-                required, chains, after,
+                required, chains, after, dismax_tb,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

@@ -283,6 +283,7 @@ def build_index(
             df, text_col, id_col, shard_size,
             unicode=cfg.index.unicode,
             store_positions=cfg.index.store_positions,
+            field_cols=list(cfg.index.field_cols),
         )
         staged = waves > 1
         if staged:
@@ -370,6 +371,10 @@ def build_index(
             "unicode": cfg.index.unicode,
             # positions layout: phrase queries require it; appends follow
             "store_positions": cfg.index.store_positions,
+            # fielded-filter columns: queries validate fields= against
+            # this list; appends re-derive the same '<field>:<token>'
+            # postings — one index, one field schema
+            "field_cols": list(cfg.index.field_cols),
         },
     )
     _dbg("stats+lineage committed")

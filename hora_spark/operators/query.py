@@ -142,7 +142,8 @@ def _shard_search(
     # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
     # normal shape of real traffic — one Spark job serves it)
     for qid, (terms, mode, near_window, excl_terms, min_match,
-              after, boosts, req_toks, chain_specs) in enumerate(queries):
+              after, boosts, req_toks, chain_specs,
+              dismax_tb, filter_groups) in enumerate(queries):
         positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct.
@@ -226,6 +227,39 @@ def _shard_search(
         # terms can never count, matching Lucene's matched-clause count)
         mm = (len(terms) if mode == "all"
               else len(distinct) if positional else min_match)
+        if filter_groups:
+            # fielded filters: zero-score must clauses. Each group's
+            # '<field>:<token>' postings join the slot list with idf 0 —
+            # contribution 0, block upper bound 0 — so WAND interval
+            # selection and θ are driven by scoring terms alone and
+            # pruning stays exact. Groups are OR within (multi-value
+            # filter), AND across (one group per field).
+            scoring_slots = list(range(len(tp)))
+            fgs = []
+            absent = False
+            for grp in filter_groups:
+                slots: list[int] = []
+                for ft in grp:
+                    plist = postings.get(ft)
+                    if plist:
+                        slots.extend(range(len(tp), len(tp) + len(plist)))
+                        tp.extend(plist)
+                if not slots:
+                    absent = True
+                    break
+                fgs.append(slots)
+            if absent:
+                continue  # no doc in this shard carries the field value
+            required = (required or []) + fgs
+            # qualification must count SCORING slots only: a filter entry
+            # (contribution 0) may neither satisfy min_match nor surface
+            # a doc with no scoring match as a score-0 result
+            if req_toks or chain_specs:
+                pass  # must/chain clauses already force a scoring match;
+                # an explicit min_match kept its should-slot universe
+            elif mm_slots is None:
+                mm_slots = scoring_slots
+                mm = max(mm, 1)
         # per-query NOT terms ride the tombstone machinery: their shard-
         # local doc ids union with the global deletes, applied pre-heap,
         # so θ tracks the k-th QUALIFIED score and pruning stays exact
@@ -241,7 +275,7 @@ def _shard_search(
                                  deleted=dels_q, allowed=allowed,
                                  min_match=mm, min_match_slots=mm_slots,
                                  required=required, chains=chains,
-                                 after=after)
+                                 after=after, dismax_tb=dismax_tb)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -333,7 +367,10 @@ def _expand_stems(
     cap = cfg.max_prefix_expansion
     missing = [s for s in stems if ("*" + s) not in cache]
     if missing:
+        # field terms ('lang:en') are filter vocabulary, not dictionary
+        # words — a stem like 'lang' must not expand into them
         cond = reduce(or_, [F.col("term").startswith(s) for s in missing])
+        cond = cond & ~F.col("term").contains(":")
         total_cap = cap * len(missing)
         rows = (
             store.read("stats", version)
@@ -394,7 +431,7 @@ def _expand_fuzzy(
             F.length("term").between(len(s) - d, len(s) + d)
             & (F.levenshtein(F.col("term"), F.lit(s)) <= d)
             for s, d in missing
-        ])
+        ]) & ~F.col("term").contains(":")  # field terms aren't dictionary words
         total_cap = cap * len(missing)
         rows = (
             store.read("stats", version)
@@ -464,7 +501,9 @@ def _expand_wildcards(
     if missing:
         cond = reduce(or_, [
             F.col("term").like(p.replace("*", "%").replace("?", "_"))
-            for p in missing])
+            for p in missing]) & ~F.col("term").contains(":")
+        # ^ field terms aren't dictionary words: '*ow' must not match
+        # a hypothetical 'lang:yellow' posting
         total_cap = cap * len(missing)
         rows = (
             store.read("stats", version)
@@ -511,9 +550,45 @@ def search_topk(
     after: tuple[float, int] | None = None,
     boosts: dict[str, float] | None = None,
     synonyms: dict[str, list] | None = None,
+    score_mode: str = "sum",
+    tie_breaker: float = 0.0,
+    fields: dict | None = None,
+    fields_not: dict | None = None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
+
+    fields: INDEX-RESIDENT fielded filters (ES filter context) —
+    {field: value | [values]} over the build's IndexConfig.field_cols.
+    Each value must tokenize to exactly one token with the index's
+    pinned mode; multiple values for one field are OR'd, distinct
+    fields AND'd. Matching docs' scores are the unchanged text-BM25
+    scores (filter clauses score 0, the ES convention), and at least
+    one scoring term must match (a filter alone never surfaces a doc).
+    Unlike filter_df (a doc-id keep-list needing a documents-table
+    scan), the '<field>:<token>' postings live in the SAME shard as the
+    doc's text postings, so the filter intersects inside the shard UDF —
+    no extra scan, no cogroup, no driver state, and WAND pruning stays
+    exact (filter slots carry idf 0, hence block upper bound 0).
+    Composes with every mode, boolean clauses, min_match, boosts,
+    dismax, paging, deletes, and filter_df. Per-query via the dict key
+    'fields'.
+
+    fields_not: negative fielded filters — {field: value | [values]}
+    whose matching docs are EXCLUDED (must_not in filter context); rides
+    the per-query NOT-term machinery (doc ids only, no scoring impact).
+    Per-query via the dict key 'fields_not'.
+
+    score_mode: 'sum' (default, the BM25 sum) or 'dismax' (Lucene
+    DisjunctionMaxQuery / ES dis_max): each doc scores
+    max_contrib + tie_breaker·(sum − max_contrib) over its matched
+    terms — the classic combiner for synonym/expansion queries, where
+    the BEST variant should count instead of stacking near-duplicates.
+    tie_breaker ∈ [0, 1] (0 = pure best clause; 1 = the plain sum).
+    A pure score combiner: composes with every mode, qualification
+    (min_match/required/phrases), boosts, filters, and paging — WAND
+    pruning stays exact because dismax ≤ sum ≤ the block upper bounds.
+    Per-query via the dict keys 'score_mode' / 'tie_breaker'.
 
     queries: list of query strings, OR per-query (text, mode) /
     (text, mode, near_window) tuples — a MIXED batch (phrase + bag-of-
@@ -699,13 +774,47 @@ def search_topk(
                 out.append((parts[0], None if w is None else int(w), unord))
         return out
 
+    def _norm_dismax(sm, tb) -> float | None:
+        """score_mode/tie_breaker → dismax_tb (None = plain sum)."""
+        if sm not in ("sum", "dismax"):
+            raise ValueError(
+                f"unknown score_mode {sm!r}; valid: 'sum', 'dismax'")
+        if sm == "sum":
+            return None
+        tb = float(tb)
+        if not 0.0 <= tb <= 1.0:
+            raise ValueError(
+                f"tie_breaker must be in [0, 1] (got {tb}): the WAND "
+                "bound argument (dismax ≤ sum) needs tb ≤ 1, and a "
+                "negative tb is not a score combiner")
+        return tb
+
+    def _norm_fieldspec(fd) -> dict[str, list[str]] | None:
+        """fields / fields_not: {field: value | [values]} → {field:
+        [values]}; tokenization (pinned index mode) happens later with
+        the other token normalization."""
+        if fd is None:
+            return None
+        if not isinstance(fd, dict) or not fd:
+            raise ValueError(
+                "fields/fields_not must be a non-empty dict "
+                "{field: value | [values]}")
+        out: dict[str, list[str]] = {}
+        for f, v in fd.items():
+            vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+            if not vals:
+                raise ValueError(f"field {f!r} has an empty value list")
+            out[str(f)] = [str(x) for x in sorted(map(str, vals))]
+        return out
+
     specs: list[tuple] = []
     for q in queries:
         if isinstance(q, str):
             specs.append((q, mode, near_window, exclude, min_match,
                           expand_prefixes, _norm_after(after),
                           _norm_boosts(boosts), _norm_syn(synonyms),
-                          None, []))
+                          None, [], _norm_dismax(score_mode, tie_breaker),
+                          _norm_fieldspec(fields), _norm_fieldspec(fields_not)))
         elif isinstance(q, dict):
             q_mode = q.get("mode") or mode
             req = q.get("required")
@@ -720,6 +829,10 @@ def search_topk(
                 _norm_syn(q.get("synonyms", synonyms)),
                 ([req] if isinstance(req, str) else list(req)) if req else None,
                 _norm_phrases(q.get("phrases")),
+                _norm_dismax(q.get("score_mode", score_mode),
+                             q.get("tie_breaker", tie_breaker)),
+                _norm_fieldspec(q.get("fields", fields)),
+                _norm_fieldspec(q.get("fields_not", fields_not)),
             ))
         else:
             parts = tuple(q)
@@ -729,11 +842,12 @@ def search_topk(
             specs.append((parts[0], q_mode, q_nw, exclude, min_match,
                           expand_prefixes, _norm_after(after),
                           _norm_boosts(boosts), _norm_syn(synonyms),
-                          None, []))
+                          None, [], _norm_dismax(score_mode, tie_breaker),
+                          _norm_fieldspec(fields), _norm_fieldspec(fields_not)))
     bad = sorted({s[1] for s in specs if s[1] not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    for _, m, _, _, mm, pf, _, _, sy, req, phs in specs:
+    for _, m, _, _, mm, pf, _, _, sy, req, phs, _, _, _ in specs:
         if mm and m != "any":
             raise ValueError(
                 "min_match applies to mode='any' only (mode='all' IS "
@@ -773,9 +887,44 @@ def search_topk(
     # phrase, duplicates define the match); others sorted distinct
     uni = bool(meta.get("unicode", False))
     cache = idf_cache if idf_cache is not None else {}
+    idx_fields = set(meta.get("field_cols") or [])
+
+    def _field_terms(fd: dict[str, list[str]], what: str) -> dict[str, list[str]]:
+        """{field: [values]} → {field: ['field:tok', ...]} with the
+        pinned tokenizer; validates against the index's field schema."""
+        unknown = sorted(set(fd) - idx_fields)
+        if unknown:
+            raise ValueError(
+                f"{what} names field(s) {unknown} the index was not "
+                f"built with (IndexConfig.field_cols={sorted(idx_fields)})")
+        out: dict[str, list[str]] = {}
+        for f, vals in fd.items():
+            terms_f = []
+            for v in vals:
+                ts = tokenize_py(v, unicode=uni)
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"{what} value {v!r} for field {f!r} must "
+                        "tokenize to exactly one token (multi-token "
+                        "field matching would need phrase semantics)")
+                terms_f.append(f"{f}:{ts[0]}")
+            out[f] = sorted(set(terms_f))
+        return out
+
     q_specs: list[list] = []
-    for text, m, nw, ex, mm, pf, af, bo, sy, req, phs in specs:
+    for text, m, nw, ex, mm, pf, af, bo, sy, req, phs, dmx, fds, fnot in specs:
         ex_terms = sorted(set(tokenize_py(ex, unicode=uni))) if ex else []
+        f_groups = None
+        if fds:
+            # one OR-group per field, AND across fields; sorted field
+            # order pins the required-group order (determinism)
+            ft = _field_terms(fds, "fields")
+            f_groups = [ft[f] for f in sorted(ft)]
+        if fnot:
+            # negative filters ride the NOT-term machinery (doc ids only)
+            fnt = _field_terms(fnot, "fields_not")
+            ex_terms = sorted(set(ex_terms)
+                              | {t for ts in fnt.values() for t in ts})
         if m in POSITIONAL_MODES:
             toks = tokenize_py(text, unicode=uni)
         elif pf:
@@ -829,7 +978,7 @@ def search_topk(
                 norm_bo[ts[0]] = w
             bo = norm_bo
         q_specs.append([toks, m, nw, ex_terms, mm, af, bo, req_toks,
-                        chain_specs])
+                        chain_specs, dmx, f_groups])
     need_stems = sorted({s for qs in q_specs if isinstance(qs[0], tuple)
                          for s in qs[0][2]})
     need_fuzz = sorted({f for qs in q_specs if isinstance(qs[0], tuple)
@@ -881,9 +1030,19 @@ def search_topk(
         for t in missing:
             cache[t] = found.get(t)
     idf_map = {t: cache[t] for t in all_terms if cache[t] is not None}
-    live_terms = sorted(idf_map)
-    if not live_terms:
+    if not idf_map:
+        # no scoring term is live: a fielded filter alone never
+        # surfaces a doc (filter clauses score 0 by definition)
         return spark.createDataFrame([], RESULT_SCHEMA)
+    # fielded-filter terms enter the scan and the shard postings with a
+    # PINNED idf of 0.0 — never their stats-table idf (they must not
+    # score) and never through the shared cache (which holds real idfs)
+    for qs in q_specs:
+        if qs[10]:
+            for grp in qs[10]:
+                for t in grp:
+                    idf_map[t] = 0.0
+    live_terms = sorted(idf_map)
 
     b_queries = spark.sparkContext.broadcast(q_specs)
     b_idf = spark.sparkContext.broadcast(idf_map)
@@ -1018,7 +1177,20 @@ def search_matches(
     return search_topk(spark, store, queries, k=None, **kw)
 
 
-_FACET_AGGS = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+_FACET_AGGS = {
+    "avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+    # exact distinct (the honest form of ES `cardinality`): two-phase
+    # partial-distinct aggregation, no sketch error — at any bucket size
+    # the expanded rows stay (query, facet, value)-keyed, never driver-side
+    "distinct": F.countDistinct,
+    # exact percentiles (linear interpolation — the ES `percentiles` agg
+    # with the TDigest replaced by Spark's exact sort-based percentile;
+    # DuckDB's quantile_cont matches the same definition)
+    "p50": lambda c: F.percentile(c, 0.5),
+    "p90": lambda c: F.percentile(c, 0.9),
+    "p99": lambda c: F.percentile(c, 0.99),
+}
+_ROUNDED_AGGS = ("avg", "p50", "p90", "p99")  # interpolated floats → 6dp
 
 
 def facet_counts(
@@ -1039,12 +1211,16 @@ def facet_counts(
     facet value).
 
     metrics (the ES stats sub-aggregation analog): {column: aggs} adds
-    per-bucket aggregations of docs-table numeric columns — aggs from
-    {'avg', 'min', 'max', 'sum'}, output column '<col>_<agg>'. The
-    reserved column name 'score' aggregates the match's BM25 score
-    instead of a docs column. avg (and every score agg — engines may
-    differ in the last ulp) is rounded to 6dp; min/max/sum of integral
-    docs columns stay exact."""
+    per-bucket aggregations of docs-table columns — aggs from {'avg',
+    'min', 'max', 'sum', 'distinct', 'p50', 'p90', 'p99'}, output
+    column '<col>_<agg>'. 'distinct' is an EXACT distinct count (the
+    honest cardinality agg — no HLL error bars); the percentile aggs
+    are exact with linear interpolation (ES `percentiles` minus the
+    TDigest approximation; DuckDB's quantile_cont is the same
+    definition). The reserved column name 'score' aggregates the
+    match's BM25 score instead of a docs column. avg/percentiles (and
+    every score agg — engines may differ in the last ulp) are rounded
+    to 6dp; min/max/sum/distinct of integral docs columns stay exact."""
     matches = search_matches(spark, store, queries, **kw)
     metrics = {c: ([fns] if isinstance(fns, str) else list(fns))
                for c, fns in (metrics or {}).items()}
@@ -1064,7 +1240,7 @@ def facet_counts(
     for c, fns in metrics.items():
         for fn in fns:
             col = _FACET_AGGS[fn](c)
-            if fn == "avg" or c == "score":
+            if fn in _ROUNDED_AGGS or c == "score":
                 col = F.round(col, 6)
             aggs.append(col.alias(f"{c}_{fn}"))
     return (

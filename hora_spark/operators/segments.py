@@ -297,9 +297,120 @@ def merge_shard_rows(
                              pos_flat=pos_all)
 
 
+def _pack_partial_postings(
+    ids: np.ndarray, dl: np.ndarray, shard_of_doc: np.ndarray,
+    tok_lists, n_toks: np.ndarray, store_positions: bool,
+) -> pd.DataFrame | None:
+    """One batch's token lists → PARTIAL posting rows (no norms rows).
+
+    ids/dl/shard_of_doc are per-doc arrays; tok_lists is a same-length
+    sequence of token lists with n_toks their lengths. dl is the NORM
+    length recorded per posting (the doc's TEXT length — field postings
+    deliberately reuse it so dl reconstruction at merge stays a single
+    norms lookup and field terms never perturb avgdl). All heavy lifting
+    is numpy; term strings materialize only once per distinct term per
+    batch."""
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    if not flat:
+        return None
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+    uniques = np.asarray(uniques, dtype=object)
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_toks)
+    # tf per (shard, doc, term): docs are unique within the batch,
+    # so the (doc, code) pair key is enough
+    v = np.int64(len(uniques))
+    key = doc_idx * v + codes
+    if store_positions:
+        # sort-based grouping instead of np.unique: a stable sort
+        # keeps each (doc, term) group's positions ascending
+        # (token order IS position order within a doc)
+        pos_in_doc = (np.arange(len(codes), dtype=np.int64)
+                      - np.repeat(_cumsum0(n_toks)[:-1], n_toks))
+        order0 = np.argsort(key, kind="stable")
+        ks = key[order0]
+        g0 = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
+        uk = ks[g0]
+        counts = np.diff(np.append(g0, np.int64(len(ks))))
+        pos_by_key = pos_in_doc[order0]
+    else:
+        uk, counts = np.unique(key, return_counts=True)
+    d_i = (uk // v).astype(np.int64)
+    c_i = (uk % v).astype(np.int64)
+    p_doc = ids[d_i]
+    p_dl = dl[d_i]
+    p_shard = shard_of_doc[d_i]
+    # order by (shard, code, doc) → contiguous posting runs
+    order = np.lexsort((p_doc, c_i, p_shard))
+    if store_positions:
+        starts_u = _cumsum0(counts)[:-1]
+        pos_re = pos_by_key[_segment_gather(starts_u[order], counts[order])]
+    p_doc, p_dl, p_shard, c_i, counts = (
+        p_doc[order], p_dl[order], p_shard[order], c_i[order], counts[order]
+    )
+    grp_key = p_shard * v + c_i
+    g_starts = np.flatnonzero(np.diff(grp_key, prepend=grp_key[0] - 1))
+    g_ends = np.append(g_starts[1:], len(grp_key))
+    # vectorized single-block packing across ALL groups at once
+    gaps = p_doc.copy()
+    gaps[1:] -= p_doc[:-1]
+    gaps[g_starts] = p_doc[g_starts]
+    gap_max = np.maximum.reduceat(gaps, g_starts)
+    tf_maxg = np.maximum.reduceat(counts, g_starts)
+    dl_ming = np.minimum.reduceat(p_dl, g_starts)
+    dblocks = _pack_blocks(gaps, g_starts, g_ends, _width_of(gap_max))
+    tblocks = _pack_blocks(counts, g_starts, g_ends, _width_of(tf_maxg))
+    if store_positions:
+        off = _cumsum0(counts)
+        pf, pe = off[g_starts], off[g_ends]
+        p_max = np.maximum.reduceat(pos_re, pf)
+        pblocks = _pack_blocks(pos_re, pf, pe, _width_of(p_max))
+    lasts = p_doc[g_ends - 1]
+    ns = (g_ends - g_starts).astype(np.int64)
+    rows = {
+        "shard_id": p_shard[g_starts].astype(np.int32),
+        "term": uniques[c_i[g_starts]],
+        "df_local": ns,
+        "doc_blocks": [[b] for b in dblocks],
+        "tf_blocks": [[b] for b in tblocks],
+        # PARTIAL rows cross the build's one shuffle WITHOUT dl
+        # blocks: each shard's partial norms rows already carry one
+        # (doc, dl) pair per doc, so shipping dl per posting too
+        # would re-inflate the shuffle by ~1 byte/posting (measured
+        # as a visible hit at the bandwidth-bound high-core end).
+        # merge_shard_rows reconstructs per-posting dl from the
+        # norms rows; only FINAL segment rows store dl_blocks.
+        "dl_blocks": [[] for _ in range(len(ns))],
+        "pos_blocks": ([[b] for b in pblocks] if store_positions
+                       else [[] for _ in range(len(ns))]),
+        "block_last": [[int(x)] for x in lasts],
+        "block_n": [[int(x)] for x in ns],
+        "block_tf_max": [[int(x)] for x in tf_maxg],
+        "block_dl_min": [[int(x)] for x in dl_ming],
+        "encode_us": np.zeros(len(ns), np.int64),
+    }
+    return pd.DataFrame(rows)
+
+
+def field_tokens_py(row_vals, field_cols, token_re) -> list[str]:
+    """One doc's FIELD terms: for each field column, tokenize the value
+    with the index's pinned tokenizer and qualify each token as
+    '<field>:<token>'. ':' is unreachable by the tokenizer, so field
+    terms can never collide with text terms (and are excluded from the
+    dictionary surfaces — suggest/prefix/fuzzy/wildcard — by that same
+    marker)."""
+    out = []
+    for fc, val in zip(field_cols, row_vals):
+        if val is None:
+            continue
+        for t in token_re.findall(str(val).lower()):
+            out.append(f"{fc}:{t}")
+    return out
+
+
 def map_partial_segments(
     df: DataFrame, text_col: str, id_col: str, shard_size: int,
     unicode: bool = False, store_positions: bool = False,
+    field_cols: list[str] | None = None,
 ) -> DataFrame:
     """The build's map side: one Arrow pass over (id, text) emitting
     PARTIAL segment rows — per (shard, term) of each batch, a single-block
@@ -307,8 +418,18 @@ def map_partial_segments(
     All heavy lifting is numpy; term strings materialize only once per
     distinct term per batch. unicode selects the pinned tokenizer mode;
     store_positions additionally packs within-doc token positions per
-    posting (single pos block per partial row, same one-pass shape)."""
+    posting (single pos block per partial row, same one-pass shape).
+
+    field_cols: fielded-filter columns (ES keyword/filter-context
+    fields). Each listed column's value tokenizes with the SAME pinned
+    tokenizer and lands as '<field>:<token>' postings in the same
+    segment layout — queryable as zero-score filter clauses
+    (fields={'lang': 'en'}), never as scoring terms (':' is unreachable
+    by the tokenizer). Field postings reuse the doc's TEXT dl as their
+    norm entry and add NO norms rows, so N/avgdl/df-of-text-terms are
+    byte-identical with and without fields."""
     token_re = token_run_regex(unicode)
+    field_cols = list(field_cols or [])
 
     def run(batches):
         for pdf in batches:
@@ -322,84 +443,22 @@ def map_partial_segments(
                 continue
             tok_lists = toks.to_numpy()[keep]
             ids, dl = ids[keep], dl[keep]
-            flat = list(itertools.chain.from_iterable(tok_lists))
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
-            uniques = np.asarray(uniques, dtype=object)
-            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
             shard_of_doc = (ids // shard_size).astype(np.int64)
-            # tf per (shard, doc, term): docs are unique within the batch,
-            # so the (doc, code) pair key is enough
-            v = np.int64(len(uniques))
-            key = doc_idx * v + codes
-            if store_positions:
-                # sort-based grouping instead of np.unique: a stable sort
-                # keeps each (doc, term) group's positions ascending
-                # (token order IS position order within a doc)
-                pos_in_doc = (np.arange(len(codes), dtype=np.int64)
-                              - np.repeat(_cumsum0(dl)[:-1], dl))
-                order0 = np.argsort(key, kind="stable")
-                ks = key[order0]
-                g0 = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
-                uk = ks[g0]
-                counts = np.diff(np.append(g0, np.int64(len(ks))))
-                pos_by_key = pos_in_doc[order0]
-            else:
-                uk, counts = np.unique(key, return_counts=True)
-            d_i = (uk // v).astype(np.int64)
-            c_i = (uk % v).astype(np.int64)
-            p_doc = ids[d_i]
-            p_dl = dl[d_i]
-            p_shard = shard_of_doc[d_i]
-            # order by (shard, code, doc) → contiguous posting runs
-            order = np.lexsort((p_doc, c_i, p_shard))
-            if store_positions:
-                starts_u = _cumsum0(counts)[:-1]
-                pos_re = pos_by_key[_segment_gather(starts_u[order], counts[order])]
-            p_doc, p_dl, p_shard, c_i, counts = (
-                p_doc[order], p_dl[order], p_shard[order], c_i[order], counts[order]
-            )
-            grp_key = p_shard * v + c_i
-            g_starts = np.flatnonzero(np.diff(grp_key, prepend=grp_key[0] - 1))
-            g_ends = np.append(g_starts[1:], len(grp_key))
-            # vectorized single-block packing across ALL groups at once
-            gaps = p_doc.copy()
-            gaps[1:] -= p_doc[:-1]
-            gaps[g_starts] = p_doc[g_starts]
-            gap_max = np.maximum.reduceat(gaps, g_starts)
-            tf_maxg = np.maximum.reduceat(counts, g_starts)
-            dl_ming = np.minimum.reduceat(p_dl, g_starts)
-            dblocks = _pack_blocks(gaps, g_starts, g_ends, _width_of(gap_max))
-            tblocks = _pack_blocks(counts, g_starts, g_ends, _width_of(tf_maxg))
-            if store_positions:
-                off = _cumsum0(counts)
-                pf, pe = off[g_starts], off[g_ends]
-                p_max = np.maximum.reduceat(pos_re, pf)
-                pblocks = _pack_blocks(pos_re, pf, pe, _width_of(p_max))
-            lasts = p_doc[g_ends - 1]
-            ns = (g_ends - g_starts).astype(np.int64)
-            rows = {
-                "shard_id": p_shard[g_starts].astype(np.int32),
-                "term": uniques[c_i[g_starts]],
-                "df_local": ns,
-                "doc_blocks": [[b] for b in dblocks],
-                "tf_blocks": [[b] for b in tblocks],
-                # PARTIAL rows cross the build's one shuffle WITHOUT dl
-                # blocks: each shard's partial norms rows already carry one
-                # (doc, dl) pair per doc, so shipping dl per posting too
-                # would re-inflate the shuffle by ~1 byte/posting (measured
-                # as a visible hit at the bandwidth-bound high-core end).
-                # merge_shard_rows reconstructs per-posting dl from the
-                # norms rows; only FINAL segment rows store dl_blocks.
-                "dl_blocks": [[] for _ in range(len(ns))],
-                "pos_blocks": ([[b] for b in pblocks] if store_positions
-                               else [[] for _ in range(len(ns))]),
-                "block_last": [[int(x)] for x in lasts],
-                "block_n": [[int(x)] for x in ns],
-                "block_tf_max": [[int(x)] for x in tf_maxg],
-                "block_dl_min": [[int(x)] for x in dl_ming],
-                "encode_us": np.zeros(len(ns), np.int64),
-            }
-            out = pd.DataFrame(rows)
+            out = _pack_partial_postings(
+                ids, dl, shard_of_doc, tok_lists, dl, store_positions)
+            parts = [out]
+            if field_cols:
+                f_vals = [pdf[fc].to_numpy()[keep] for fc in field_cols]
+                f_lists = [
+                    field_tokens_py(vals, field_cols, token_re)
+                    for vals in zip(*f_vals)
+                ]
+                f_rows = _pack_partial_postings(
+                    ids, dl, shard_of_doc, f_lists,
+                    np.array([len(l) for l in f_lists], np.int64),
+                    store_positions)
+                if f_rows is not None:
+                    parts.append(f_rows)
             # partial norms rows per shard in this batch
             s_order = np.argsort(ids, kind="mergesort")  # doc order
             s_ids, s_dl, s_sh = ids[s_order], dl[s_order], shard_of_doc[s_order]
@@ -428,6 +487,8 @@ def map_partial_segments(
                 "block_dl_min": [[]] * len(n_ns),
                 "encode_us": np.zeros(len(n_ns), np.int64),
             })
-            yield pd.concat([out, norms], ignore_index=True)
+            yield pd.concat(parts + [norms], ignore_index=True)
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, SEGMENT_SCHEMA)
+    cols = [F.col(id_col), F.col(text_col)]
+    cols += [F.col(c).cast("string").alias(c) for c in field_cols]
+    return df.select(*cols).mapInPandas(run, SEGMENT_SCHEMA)

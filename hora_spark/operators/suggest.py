@@ -68,7 +68,11 @@ def suggest_terms(
     if not terms:
         return spark.createDataFrame([], _OUT_SCHEMA)
 
-    dic = store.read("stats", version).select("term", "df")
+    # field terms ('lang:en') are filter vocabulary, not words a user
+    # misspells — keep them out of the suggestion dictionary
+    dic = (store.read("stats", version)
+           .filter(~F.col("term").contains(":"))
+           .select("term", "df"))
     # df of each input term (null = missing) rides the broadcast side so
     # mode filtering needs no second dictionary pass
     in_df = {r["term"]: int(r["df"]) for r in

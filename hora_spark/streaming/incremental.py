@@ -81,22 +81,50 @@ def append_build(
     base = base_all.filter(F.col("dl") > 0)
 
     store_positions = bool(meta.get("store_positions", False))
-    if store_positions:
-        # posexplode keeps each occurrence's within-doc position; the
-        # sorted list per (doc, term) feeds pos_blocks at encode
-        tf = (
-            base.select("doc_id", "dl",
-                        F.posexplode("terms").alias("pos", "term"))
-            .groupBy("doc_id", "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"),
-                 F.sort_array(F.collect_list("pos")).alias("pos_list"))
-        )
-    else:
-        tf = (
-            base.select("doc_id", "dl", F.explode("terms").alias("term"))
+    # appended rows carry the INDEX's field postings too (meta, not the
+    # caller's cfg — one index, one field schema): each field column's
+    # value tokenizes with the pinned mode and qualifies as
+    # '<field>:<token>', exactly like map_partial_segments. Positions for
+    # field terms index into the doc's CONCATENATED field-token list (the
+    # batch build's layout); they are never read by queries (field terms
+    # can't enter positional chains) but keep the encode path uniform.
+    fld_cols = list(meta.get("field_cols") or [])
+    if fld_cols:
+        from hora_spark.functions.tokenize import tokens_col
+
+        uni = bool(meta.get("unicode", False))
+
+        def _qualified(fc: str):
+            # NB: a two-arg lambda in F.transform would bind the second
+            # parameter to the ELEMENT INDEX — close over fc instead
+            prefix = F.lit(fc + ":")
+            return F.transform(
+                tokens_col(F.col(fc).cast("string"), unicode=uni),
+                lambda t: F.concat(prefix, t))
+
+        f_terms = F.flatten(F.array(*[_qualified(fc) for fc in fld_cols]))
+        base = base.withColumn("fterms", f_terms)
+
+    def _tf_of(src: DataFrame, terms_col: str) -> DataFrame:
+        if store_positions:
+            # posexplode keeps each occurrence's within-doc position; the
+            # sorted list per (doc, term) feeds pos_blocks at encode
+            return (
+                src.select("doc_id", "dl",
+                           F.posexplode(terms_col).alias("pos", "term"))
+                .groupBy("doc_id", "dl", "term")
+                .agg(F.count(F.lit(1)).alias("tf"),
+                     F.sort_array(F.collect_list("pos")).alias("pos_list"))
+            )
+        return (
+            src.select("doc_id", "dl", F.explode(terms_col).alias("term"))
             .groupBy("doc_id", "dl", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
+
+    tf = _tf_of(base, "terms")
+    if fld_cols:
+        tf = tf.unionByName(_tf_of(base, "fterms"))
     # frozen stats: the stats table is NOT updated, so terms unseen at
     # build time have no idf and are not searchable until `rebuild`
     # (hora analog: a point inserted into a frozen graph can only link to
@@ -274,7 +302,8 @@ def rebuild(
     passthrough = {
         k: meta[k]
         for k in ("shard_size", "n_shards", "max_doc_id", "next_doc_id",
-                  "bm25", "store_dl", "unicode", "store_positions")
+                  "bm25", "store_dl", "unicode", "store_positions",
+                  "field_cols")
         if k in meta
     }
     _commit_stats_and_lineage(

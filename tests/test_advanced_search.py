@@ -454,6 +454,36 @@ def test_facet_metrics_python_recount(spark, setup):
         assert r["score_max"] == pytest.approx(max(scs), abs=1e-6)
 
 
+def test_facet_metrics_distinct_and_percentiles(spark, setup):
+    """Exact distinct count and exact interpolated percentiles per
+    bucket, against a python recount (numpy's linear-interpolation
+    percentile is the same definition Spark's percentile() uses)."""
+    import numpy as np
+
+    eng, corpus = setup
+    toks = _tok_docs(corpus)
+    docs = corpus.docs.withColumn("bucket",
+                                  (F.col("doc_id") % 3).cast("string"))
+    docs = docs.withColumn("grp", (F.col("doc_id") % 5).cast("string"))
+    f = {r["facet"]: r for r in
+         eng.facets(["water"], docs, "bucket",
+                    metrics={"dl": ["p50", "p90"],
+                             "grp": ["distinct"]}).collect()}
+    dl_py = {r["doc_id"]: r["dl"] for r in corpus.docs.collect()}
+    matched = [d for d, t in toks.items() if "water" in t]
+    buckets = collections.defaultdict(list)
+    for d in matched:
+        buckets[str(d % 3)].append(d)
+    for b, ds in buckets.items():
+        r = f[b]
+        dls = np.array([dl_py[d] for d in ds], dtype=float)
+        assert r["dl_p50"] == pytest.approx(
+            float(np.percentile(dls, 50)), abs=1e-6)
+        assert r["dl_p90"] == pytest.approx(
+            float(np.percentile(dls, 90)), abs=1e-6)
+        assert r["grp_distinct"] == len({d % 5 for d in ds})
+
+
 def test_facet_metrics_unknown_agg_raises(spark, setup):
     eng, corpus = setup
     with pytest.raises(ValueError, match="unknown facet aggregation"):
