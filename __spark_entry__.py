@@ -655,7 +655,7 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
     )
 
 
-# one batch, fifteen predicate shapes, ONE Spark job (round-5: per-query
+# one batch, seventeen predicate shapes, ONE Spark job (round-5: per-query
 # mode rides through the shard UDF; tools/mixed_mode_ab.py measures
 # ~3.3× over mode-segregated jobs at batch-10). The last five are dict
 # specs exercising the advanced predicates: NOT terms (must_not),
@@ -690,6 +690,13 @@ MIXED_BATCH = [
                                                  # '<field>:<tok>' postings
                                                  # intersect inside the
                                                  # shard UDF, no docs scan
+    {"text": " ".join(HOT_QUERY),                # boosting query (ES
+     "negative": " ".join(RARE_QUERY),           # `boosting`): docs with
+     "negative_boost": 0.4},                     # 'dup' score ×0.4, not
+                                                 # excluded — demotion
+    {"text": "/jo.n|h[au]sh/", "prefix": True},  # whole-term regex query
+                                                 # (Lucene RegexpQuery)
+                                                 # over the dictionary
 ]
 
 
@@ -699,9 +706,10 @@ def _q_search_mixed_batch(spark, sf_dir):
     fuzzy expansion + per-term boosts + synonym expansion + wildcard
     expansion + order-free proximity + a boolean (must + phrase-clause)
     query + dis_max-scored synonym expansion + index-resident fielded
-    filters (lang:en, -source:src1) in one job over the positional
-    index. Oracle: the union of the fifteen single-predicate SQL
-    twins, labeled by query_id."""
+    filters (lang:en, -source:src1) + a boosting query (negative terms
+    demote, x0.4) + a whole-term regex expansion in one job over the
+    positional index. Oracle: the union of the seventeen
+    single-predicate SQL twins, labeled by query_id."""
     key = sf_dir + "#pos"
     if key not in _ENGINE_CACHE:
         _q_bm25_phrase(spark, sf_dir)  # builds + caches the positional engine
@@ -731,6 +739,8 @@ def _mixed_batch_sql(k: int = K) -> str:
         # engine's token-level field match == the SQL equality predicate
         _bm25_sql(MID_QUERY, k,
                   keep_where="lang = 'en' AND source <> 'src1'"),
+        _bm25_sql(HOT_QUERY, k, demote_terms=RARE_QUERY, demote_factor=0.4),
+        _bm25_sql([], k, regexes=["jo.n|h[au]sh"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {qi} AS query_id, doc_id, score FROM ({sql})"
@@ -1519,9 +1529,12 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
               prefix_stems: list[str] | None = None,
               fuzzy_specs: list[tuple[str, int]] | None = None,
               wildcards: list[str] | None = None,
+              regexes: list[str] | None = None,
               boosts: dict[str, float] | None = None,
               enumerate_all: bool = False, offset: int = 0,
-              dismax_tb: float | None = None) -> str:
+              dismax_tb: float | None = None,
+              demote_terms: list[str] | None = None,
+              demote_factor: float = 1.0) -> str:
     """exclude: tombstoned doc ids — filtered from the RESULT only (corpus
     stats stay over all docs), matching frozen-stats delete semantics.
     keep_where: SQL predicate over the documents table selecting the
@@ -1549,16 +1562,20 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
     ranked (offset, offset+k] of the global (s DESC, doc_id ASC) order
     (the ORACLE may use OFFSET; the engine never does)."""
     vals = ", ".join(f"('{t}')" for t in terms)
-    if prefix_stems or fuzzy_specs or wildcards:
+    if prefix_stems or fuzzy_specs or wildcards or regexes:
         preds = [f"term LIKE '{s}%'" for s in (prefix_stems or [])]
         # fuzzy twin: dictionary expansion by edit distance (the engine's
         # length-window + levenshtein scan, in one DuckDB predicate);
-        # wildcard twin: the same '*'→'%' / '?'→'_' LIKE rewrite
+        # wildcard twin: the same '*'→'%' / '?'→'_' LIKE rewrite;
+        # regex twin: the same whole-term anchor (portable subset only —
+        # the engine scans with the JVM engine, DuckDB uses RE2)
         preds += [f"levenshtein(term, '{s}') <= {int(d)}"
                   for s, d in (fuzzy_specs or [])]
         preds += ["term LIKE '{}'".format(
                       p.replace("*", "%").replace("?", "_"))
                   for p in (wildcards or [])]
+        preds += [f"regexp_matches(term, '^(?:{p})$')"
+                  for p in (regexes or [])]
         branches = [f"SELECT term FROM dfs WHERE {' OR '.join(preds)}"]
         if terms:
             branches.append(f"SELECT term FROM (VALUES {vals}) v(term)")
@@ -1582,8 +1599,18 @@ def _bm25_sql(terms: list[str], k: int = K, exclude: list[int] | None = None,
         having = f"HAVING count(*) >= {int(min_match)}"
     else:
         having = ""
+    if demote_terms:
+        # boosting-query twin: demoted docs keep eligibility, score × nb
+        # on the RAW double (the engine's exact arithmetic), ranked on
+        # the demoted value
+        dts = ", ".join(f"'{t}'" for t in sorted(set(demote_terms)))
+        s_final = (f"(CASE WHEN doc_id IN (SELECT DISTINCT doc_id FROM tfx "
+                   f"WHERE term IN ({dts})) THEN s * {float(demote_factor)!r} "
+                   f"ELSE s END)")
+    else:
+        s_final = "s"
     tail = ("" if enumerate_all
-            else f"\nORDER BY s DESC, doc_id ASC LIMIT {k}"
+            else f"\nORDER BY {s_final} DESC, doc_id ASC LIMIT {k}"
                  + (f" OFFSET {int(offset)}" if offset else ""))
     if boosts:
         cases = " ".join(f"WHEN '{t}' THEN {float(w)!r}"
@@ -1616,7 +1643,7 @@ scored AS (
   GROUP BY tfx.doc_id
   {having}
 )
-SELECT doc_id, ROUND(s, 6) AS score FROM scored{tail}
+SELECT doc_id, ROUND({s_final}, 6) AS score FROM scored{tail}
 """
     )
 

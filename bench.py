@@ -228,6 +228,10 @@ def main() -> None:
     # docs join + two windowed group-limits)
     xtimed("x_search_collapse", lambda: eng.collapse(
         ["join hash row"], docs, "source", k=10, per_group=2).collect())
+    # boosting query: negative-term demotion (ids decode in the same scan)
+    xtimed("x_search_boosting", lambda: eng.search(
+        "join hash row", k=10, negative="dup",
+        negative_boost=0.4).collect())
     # boolean query-string (must + exact chain + windowed chain + boost +
     # must_not + minimum_should_match) — one job through the WAND kernel
     xtimed("x_query_string", lambda: pos_eng.query_string(

@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="pack within-doc token positions per posting "
                         "(enables search --mode phrase; ~1-2 bytes per "
                         "token occurrence)")
+    b.add_argument("--field-cols", default=None, metavar="COL,COL",
+                   help="fielded-filter columns: each column's value is "
+                        "tokenized and stored as '<field>:<token>' "
+                        "postings (enables search --field / "
+                        "--not-field and 'field:value' query-string "
+                        "clauses)")
 
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
@@ -107,6 +113,29 @@ def main(argv: list[str] | None = None) -> int:
                         "and prefix/wildcard/fuzzy expansions — all in "
                         "one boolean query per -q; --min-match then "
                         "counts the should clauses only")
+    s.add_argument("--field", action="append", default=None,
+                   metavar="FIELD=V[,V]",
+                   help="index-resident fielded filter (repeatable): only "
+                        "docs whose FIELD contains one of the values "
+                        "(index must be built with --field-cols); "
+                        "repeated values OR, distinct fields AND")
+    s.add_argument("--not-field", action="append", default=None,
+                   metavar="FIELD=V[,V]",
+                   help="negative fielded filter (repeatable): exclude "
+                        "docs whose FIELD contains any of the values")
+    s.add_argument("--score-mode", default="sum", choices=["sum", "dismax"],
+                   help="dis_max: score = best clause + tie-breaker*rest")
+    s.add_argument("--tie-breaker", type=float, default=0.0)
+    s.add_argument("--negative", default=None, metavar="TERMS",
+                   help="boosting query: docs containing any of these "
+                        "tokens are demoted (score x --negative-boost), "
+                        "not excluded")
+    s.add_argument("--negative-boost", type=float, default=1.0)
+    s.add_argument("--collapse-by", default=None, metavar="PARQUET:COLUMN",
+                   help="field collapsing: top-k keeping at most "
+                        "--per-group docs per value of the named docs-"
+                        "table column")
+    s.add_argument("--per-group", type=int, default=1)
     s.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="deep-paging cursor (search_after): pass the "
                         "score,doc_id of the previous page's LAST row to "
@@ -236,6 +265,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.store_positions:
             cfg = dataclasses.replace(
                 cfg, index=dataclasses.replace(cfg.index, store_positions=True))
+        if args.field_cols:
+            cfg = dataclasses.replace(
+                cfg, index=dataclasses.replace(
+                    cfg.index, field_cols=tuple(
+                        c for c in args.field_cols.split(",") if c)))
         eng = Engine(spark, args.index, cfg)
         out = eng.build(
             spark.read.parquet(args.input),
@@ -295,6 +329,34 @@ def main(argv: list[str] | None = None) -> int:
                 for spec in args.synonym:
                     t, _, alts = spec.partition("=")
                     synonyms[t] = [a for a in alts.split(",") if a]
+
+            def _parse_fields(specs_arg):
+                if not specs_arg:
+                    return None
+                out = {}
+                for spec in specs_arg:
+                    f, _, vs = spec.partition("=")
+                    out.setdefault(f, []).extend(
+                        v for v in vs.split(",") if v)
+                return out
+
+            fields = _parse_fields(args.field)
+            fields_not = _parse_fields(args.not_field)
+            if args.collapse_by:
+                path, _, col = args.collapse_by.rpartition(":")
+                docs = spark.read.parquet(path)
+                res = eng.collapse(
+                    args.query, docs, col, k=args.k,
+                    per_group=args.per_group, id_col=docs.columns[0],
+                    filter_df=fdf, mode=args.mode,
+                    near_window=args.near_window, exclude=args.exclude,
+                    min_match=args.min_match, expand_prefixes=args.prefix,
+                    fields=fields, fields_not=fields_not)
+                for r in res.collect():
+                    print(json.dumps({"query": args.query[r["query_id"]],
+                                      "doc_id": r["doc_id"],
+                                      "score": r["score"], col: r[col]}))
+                return 0
             if args.query_string:
                 from hora_spark.functions.qstring import parse_query_string
 
@@ -314,7 +376,12 @@ def main(argv: list[str] | None = None) -> int:
                                    min_match=args.min_match,
                                    expand_prefixes=args.prefix,
                                    after=after, boosts=boosts,
-                                   synonyms=synonyms)
+                                   synonyms=synonyms,
+                                   score_mode=args.score_mode,
+                                   tie_breaker=args.tie_breaker,
+                                   fields=fields, fields_not=fields_not,
+                                   negative=args.negative,
+                                   negative_boost=args.negative_boost)
             for r in res.collect():
                 print(json.dumps({"query": args.query[r["query_id"]],
                                   "doc_id": r["doc_id"], "score": r["score"]}))

@@ -73,7 +73,9 @@ class Engine:
                score_mode: str = "sum",
                tie_breaker: float = 0.0,
                fields: dict | None = None,
-               fields_not: dict | None = None) -> DataFrame:
+               fields_not: dict | None = None,
+               negative: str | None = None,
+               negative_boost: float = 1.0) -> DataFrame:
         """mode='all' gives conjunctive (AND) semantics — only docs
         matching every query term, scored with the same BM25 sums.
         mode='phrase' requires exact token adjacency, mode='near'
@@ -106,7 +108,8 @@ class Engine:
                              after=after, boosts=boosts,
                              synonyms=synonyms, score_mode=score_mode,
                              tie_breaker=tie_breaker, fields=fields,
-                             fields_not=fields_not).drop("query_id")
+                             fields_not=fields_not, negative=negative,
+                             negative_boost=negative_boost).drop("query_id")
 
     def searches(self, queries: list, k: int | None = None, prune: bool = True,
                  version: int | None = None, filter_df: DataFrame | None = None,
@@ -119,7 +122,9 @@ class Engine:
                  score_mode: str = "sum",
                  tie_breaker: float = 0.0,
                  fields: dict | None = None,
-                 fields_not: dict | None = None) -> DataFrame:
+                 fields_not: dict | None = None,
+                 negative: str | None = None,
+                 negative_boost: float = 1.0) -> DataFrame:
         """Batched search: ONE Spark job for any number of queries.
         Each element of `queries` is a string (searched with the
         call-level options), a (text, mode) / (text, mode, near_window)
@@ -139,6 +144,7 @@ class Engine:
             expand_prefixes=expand_prefixes, after=after, boosts=boosts,
             synonyms=synonyms, score_mode=score_mode,
             tie_breaker=tie_breaker, fields=fields, fields_not=fields_not,
+            negative=negative, negative_boost=negative_boost,
         )
 
     def query_string(self, q: str, k: int | None = None,
@@ -282,17 +288,20 @@ class Engine:
     def matches(self, queries: list, version: int | None = None,
                 filter_df: DataFrame | None = None, mode: str = "any",
                 near_window: int = 5, exclude: str | None = None,
-                min_match: int = 0, expand_prefixes: bool = False) -> DataFrame:
+                min_match: int = 0, expand_prefixes: bool = False,
+                **kw) -> DataFrame:
         """ALL matching docs per query (match enumeration, no top-k):
         → DataFrame(query_id, doc_id, score), unordered. Feeds facet
-        panels, match counting, and corpus-filter exports."""
+        panels, match counting, and corpus-filter exports. kw = any
+        remaining search option (fields, fields_not, negative, boosts,
+        synonyms, score_mode, ...)."""
         v = self.store.current_version() if version is None else version
         cache = self._idf_caches.setdefault(v, {})
         return _query.search_matches(
             self.spark, self.store, queries, cfg=self.cfg, version=version,
             idf_cache=cache, filter_df=filter_df, mode=mode,
             near_window=near_window, exclude=exclude, min_match=min_match,
-            expand_prefixes=expand_prefixes,
+            expand_prefixes=expand_prefixes, **kw,
         )
 
     def facets(self, queries: list, docs_df: DataFrame, facet_col: str,
@@ -329,6 +338,24 @@ class Engine:
             min_doc_count=min_doc_count, text_col=text_col, id_col=id_col,
             cfg=self.cfg, idf_cache=cache, **kw,
         )
+
+    def count(self, queries: list, **kw) -> DataFrame:
+        """Match counting (the ES `_count` API): → DataFrame(query_id,
+        n_matches), one row per query INCLUDING zero-match queries (a
+        count endpoint that silently drops empty queries is a trap).
+        One enumeration job + a map-side-combined count — no top-k, no
+        sort, no driver state. kw = any matches() option (mode, exclude,
+        fields, min_match, filter_df, ...)."""
+        from pyspark.sql import functions as F
+
+        counts = (self.matches(queries, **kw)
+                  .groupBy("query_id").agg(F.count("*").alias("n_matches")))
+        all_q = self.spark.range(len(queries)).select(
+            F.col("id").cast("int").alias("query_id"))
+        return (all_q.join(counts, "query_id", "left")
+                .select("query_id",
+                        F.coalesce("n_matches", F.lit(0)).alias("n_matches"))
+                .orderBy("query_id"))
 
     def collapse(self, queries: list, docs_df: DataFrame,
                  collapse_col: str, k: int = 10, per_group: int = 1,

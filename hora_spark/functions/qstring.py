@@ -22,11 +22,11 @@ Grammar (flat boolean, whitespace-separated clauses):
                   of some shared anchor occurrence, order-free (Lucene
                   slop); "+\"...\"" is accepted (phrases are must clauses
                   already)
-  pre* *ing t?ble word~1
-                  dictionary expansions (prefix / wildcard / fuzzy) —
-                  SHOULD clauses only; '+'/'-'/boost cannot compose with
-                  an expansion (the clause identity would be ambiguous
-                  over the expanded set)
+  pre* *ing t?ble word~1 /jo.n/
+                  dictionary expansions (prefix / wildcard / fuzzy /
+                  whole-term regex) — SHOULD clauses only; '+'/'-'/boost
+                  cannot compose with an expansion (the clause identity
+                  would be ambiguous over the expanded set)
   field:value     fielded FILTER clause (ES filter context) over the
                   index's IndexConfig.field_cols: required, scores 0.
                   Repeating a field ("lang:en lang:de") ORs its values;
@@ -120,6 +120,8 @@ def parse_query_string(q: str) -> dict:
                 f, []).append(v)
             continue
         is_expansion = ("*" in w or "?" in w
+                        or (len(w) > 2 and w.startswith("/")
+                            and w.endswith("/"))
                         or bool(_FUZZY_SUFFIX_RE.match(w)))
         if is_expansion:
             if sign or weight is not None:

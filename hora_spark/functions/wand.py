@@ -174,6 +174,7 @@ def _score_terms_on_docs(
     chains: list[tuple[list[tuple[int, list[int]]], int | None, bool]] | None = None,
     after: tuple[float, int] | None = None,
     dismax_tb: float | None = None,
+    demote: tuple[np.ndarray, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores of all docs with id in [lo, hi] across `terms`,
     decoding only the listed blocks. Accumulation order = term list order
@@ -280,6 +281,17 @@ def _score_terms_on_docs(
         maxes = np.full(len(uids), -np.inf)
         np.maximum.at(maxes, inv, cat_con)
         scores = maxes + dismax_tb * (scores - maxes)
+    if demote is not None and len(uids):
+        # boosting query (ES `boosting`): docs matching the negative
+        # term set keep their eligibility but score × factor (one raw-
+        # double multiply — the SQL twin reproduces it bit-exactly).
+        # Applied BEFORE the heap so θ tracks final (demoted) scores;
+        # pruning stays exact because factor ≤ 1 keeps every score
+        # under the undemoted block upper bounds.
+        d_ids, factor = demote
+        if len(d_ids):
+            scores = np.where(_in_sorted(d_ids, uids),
+                              scores * factor, scores)
     if min_match > 1 or (min_match >= 1 and min_match_slots is not None):
         counts = np.zeros(len(uids), dtype=np.int64)
         if min_match_slots is None:
@@ -431,8 +443,14 @@ def shard_topk(
     near_unordered: bool = False,
     after: tuple[float, int] | None = None,
     dismax_tb: float | None = None,
+    demote: tuple[np.ndarray, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) of one shard for one query.
+
+    demote: (sorted doc ids, factor in (0, 1]) — the ES boosting-query
+    combiner: matching docs stay eligible but score × factor (see
+    _score_terms_on_docs). θ tracks demoted scores; factor ≤ 1 keeps
+    every score under the undemoted block bounds, so pruning is exact.
 
     dismax_tb: disjunction-max combiner (see _score_terms_on_docs) —
     per-doc score = max_contrib + tb·(sum − max_contrib). Contributions
@@ -496,7 +514,7 @@ def shard_topk(
         ids, scores = _score_terms_on_docs(
             terms, blocks_all, 0, np.iinfo(np.int64).max, avgdl, k1, b,
             deleted, allowed, min_match, min_match_slots, required, chains,
-            after, dismax_tb,
+            after, dismax_tb, demote,
         )
         return (ids, scores) if k is None else _topk(ids, scores, k)
 
@@ -560,7 +578,7 @@ def shard_topk(
             ids_i, sc_i = _score_terms_on_docs(
                 terms, blocks_per_term, int(lo_edges[i]), int(hi_edges[i]),
                 avgdl, k1, b, deleted, allowed, min_match, min_match_slots,
-                required, chains, after, dismax_tb,
+                required, chains, after, dismax_tb, demote,
             )
             ids_list.append(ids_i)
             sc_list.append(sc_i)

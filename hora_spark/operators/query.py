@@ -87,7 +87,9 @@ def _shard_search(
     # each is an independent posting source — every doc lives in exactly
     # one source, so summing per-source contributions stays exact and the
     # per-source block maxima still add up to a true upper bound
-    excl_all = {t for q in queries for t in q[3]}
+    excl_all = ({t for q in queries for t in q[3]}
+                | {t for q in queries if q[11] is not None
+                   for t in q[11][0]})  # boosting-query negative terms
     # exclusion terms need only their DOC IDS (no idf, no tf/dl decode):
     # keep the raw compressed sources and decode ids lazily, once per term
     excl_raw: dict[str, list[tuple[list, np.ndarray]]] = {}
@@ -143,7 +145,7 @@ def _shard_search(
     # normal shape of real traffic — one Spark job serves it)
     for qid, (terms, mode, near_window, excl_terms, min_match,
               after, boosts, req_toks, chain_specs,
-              dismax_tb, filter_groups) in enumerate(queries):
+              dismax_tb, filter_groups, demote_spec) in enumerate(queries):
         positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct.
@@ -271,11 +273,24 @@ def _shard_search(
                 ex = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
                 dels_q = (ex if dels_q is None or not len(dels_q)
                           else np.union1d(dels_q, ex))
+        # boosting query (ES `boosting`): the negative terms' doc ids
+        # decode through the SAME lazy exclusion cache (ids only, no
+        # tf/dl) — demotion is exclusion's softer sibling
+        demote = None
+        if demote_spec is not None:
+            neg_terms, nb = demote_spec
+            arrs = [a for t in neg_terms
+                    if (a := _excl_ids(t)) is not None and len(a)]
+            if arrs:
+                ids_d = (arrs[0] if len(arrs) == 1
+                         else np.unique(np.concatenate(arrs)))
+                demote = (ids_d, nb)
         ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
                                  deleted=dels_q, allowed=allowed,
                                  min_match=mm, min_match_slots=mm_slots,
                                  required=required, chains=chains,
-                                 after=after, dismax_tb=dismax_tb)
+                                 after=after, dismax_tb=dismax_tb,
+                                 demote=demote)
         out_q.append(np.full(len(ids), qid, np.int32))
         out_d.append(ids)
         out_s.append(scores)
@@ -295,22 +310,37 @@ _FUZZY_RE = re.compile(r"^(?P<stem>.+?)~(?P<dist>[12])?$")
 
 def _parse_prefix_terms(
     text: str, unicode: bool,
-) -> tuple[list[str], list[str], list[tuple[str, int]], list[str]]:
+) -> tuple[list[str], list[str], list[tuple[str, int]], list[str], list[str]]:
     """Split an expansion-syntax query into (plain tokens, prefix stems,
-    fuzzy specs, wildcard patterns): whitespace words ending in a single
-    trailing '*' are prefix stems (the pushdown-friendly special case),
-    words ending in '~' or '~1'/'~2' are fuzzy terms (Lucene's fuzzy
-    syntax; bare '~' means edit distance 1), words with '*' / '?'
-    anywhere ELSE are wildcard patterns ('*' = any run, '?' = one char —
-    Lucene WildcardQuery, incl. leading/infix wildcards), everything
-    else tokenizes normally. A stem/fuzzy word must reduce to exactly
-    ONE index token; a wildcard's literal chars must already BE one
-    normalized index token (type patterns lowercase)."""
+    fuzzy specs, wildcard patterns, regex patterns): whitespace words
+    ending in a single trailing '*' are prefix stems (the
+    pushdown-friendly special case), words ending in '~' or '~1'/'~2'
+    are fuzzy terms (Lucene's fuzzy syntax; bare '~' means edit distance
+    1), words with '*' / '?' anywhere ELSE are wildcard patterns ('*' =
+    any run, '?' = one char — Lucene WildcardQuery, incl. leading/infix
+    wildcards), '/pattern/' words are WHOLE-TERM regex queries (Lucene
+    RegexpQuery: the pattern must match the entire term; keep to the
+    portable regex subset — classes, alternation, quantifiers — since
+    the dictionary scan uses the JVM engine and SQL twins use RE2),
+    everything else tokenizes normally. A stem/fuzzy word must reduce to
+    exactly ONE index token; a wildcard's literal chars must already BE
+    one normalized index token (type patterns lowercase)."""
+    import re as _re
+
     plains: list[str] = []
     stems: list[str] = []
     fuzz: list[tuple[str, int]] = []
     wilds: list[str] = []
+    regexes: list[str] = []
     for w in (text or "").split():
+        if len(w) > 2 and w.startswith("/") and w.endswith("/"):
+            pat = w[1:-1]
+            try:
+                _re.compile(pat)
+            except _re.error as e:
+                raise ValueError(f"bad regex query {w!r}: {e}") from None
+            regexes.append(pat)
+            continue
         is_prefix = (len(w) > 1 and w.endswith("*")
                      and "*" not in w[:-1] and "?" not in w)
         is_wild = not is_prefix and ("*" in w or "?" in w)
@@ -343,7 +373,7 @@ def _parse_prefix_terms(
                 fuzz.append((st[0], int(fm.group("dist") or 1)))
         else:
             plains.extend(tokenize_py(w, unicode=unicode))
-    return plains, stems, fuzz, wilds
+    return plains, stems, fuzz, wilds, regexes
 
 
 def _expand_stems(
@@ -554,6 +584,8 @@ def search_topk(
     tie_breaker: float = 0.0,
     fields: dict | None = None,
     fields_not: dict | None = None,
+    negative: str | None = None,
+    negative_boost: float = 1.0,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
@@ -578,6 +610,16 @@ def search_topk(
     whose matching docs are EXCLUDED (must_not in filter context); rides
     the per-query NOT-term machinery (doc ids only, no scoring impact).
     Per-query via the dict key 'fields_not'.
+
+    negative / negative_boost: boosting query (the ES `boosting` query —
+    exclusion's softer sibling): docs containing ANY token of `negative`
+    stay eligible but their final score is multiplied by negative_boost
+    ∈ (0, 1] (1 = identity). The negative postings decode doc ids only,
+    in the same pushed-down scan as NOT terms; θ tracks demoted scores
+    and factor ≤ 1 keeps every score under the undemoted block bounds,
+    so WAND pruning stays exact. Composes with every mode, clause kind,
+    dismax, fields, and paging. Per-query via the dict keys
+    'negative' / 'negative_boost'.
 
     score_mode: 'sum' (default, the BM25 sum) or 'dismax' (Lucene
     DisjunctionMaxQuery / ES dis_max): each doc scores
@@ -789,6 +831,19 @@ def search_topk(
                 "negative tb is not a score combiner")
         return tb
 
+    def _norm_negative(neg, nb) -> tuple[str, float] | None:
+        """negative/negative_boost → (text, factor); None = no demotion."""
+        if neg is None:
+            return None
+        nb = float(nb)
+        if not 0.0 < nb <= 1.0:
+            raise ValueError(
+                f"negative_boost must be in (0, 1] (got {nb}): the WAND "
+                "bound argument (demoted ≤ undemoted ≤ block bounds) "
+                "needs nb ≤ 1, and nb ≤ 0 is exclusion, not demotion — "
+                "use exclude/fields_not for that")
+        return (str(neg), nb)
+
     def _norm_fieldspec(fd) -> dict[str, list[str]] | None:
         """fields / fields_not: {field: value | [values]} → {field:
         [values]}; tokenization (pinned index mode) happens later with
@@ -814,7 +869,8 @@ def search_topk(
                           expand_prefixes, _norm_after(after),
                           _norm_boosts(boosts), _norm_syn(synonyms),
                           None, [], _norm_dismax(score_mode, tie_breaker),
-                          _norm_fieldspec(fields), _norm_fieldspec(fields_not)))
+                          _norm_fieldspec(fields), _norm_fieldspec(fields_not),
+                          _norm_negative(negative, negative_boost)))
         elif isinstance(q, dict):
             q_mode = q.get("mode") or mode
             req = q.get("required")
@@ -833,6 +889,8 @@ def search_topk(
                              q.get("tie_breaker", tie_breaker)),
                 _norm_fieldspec(q.get("fields", fields)),
                 _norm_fieldspec(q.get("fields_not", fields_not)),
+                _norm_negative(q.get("negative", negative),
+                               q.get("negative_boost", negative_boost)),
             ))
         else:
             parts = tuple(q)
@@ -843,11 +901,12 @@ def search_topk(
                           expand_prefixes, _norm_after(after),
                           _norm_boosts(boosts), _norm_syn(synonyms),
                           None, [], _norm_dismax(score_mode, tie_breaker),
-                          _norm_fieldspec(fields), _norm_fieldspec(fields_not)))
+                          _norm_fieldspec(fields), _norm_fieldspec(fields_not),
+                          _norm_negative(negative, negative_boost)))
     bad = sorted({s[1] for s in specs if s[1] not in _VALID})
     if bad:
         raise ValueError(f"unknown search mode(s) {bad}; valid: {_VALID}")
-    for _, m, _, _, mm, pf, _, _, sy, req, phs, _, _, _ in specs:
+    for _, m, _, _, mm, pf, _, _, sy, req, phs, _, _, _, _ in specs:
         if mm and m != "any":
             raise ValueError(
                 "min_match applies to mode='any' only (mode='all' IS "
@@ -912,7 +971,7 @@ def search_topk(
         return out
 
     q_specs: list[list] = []
-    for text, m, nw, ex, mm, pf, af, bo, sy, req, phs, dmx, fds, fnot in specs:
+    for text, m, nw, ex, mm, pf, af, bo, sy, req, phs, dmx, fds, fnot, neg in specs:
         ex_terms = sorted(set(tokenize_py(ex, unicode=uni))) if ex else []
         f_groups = None
         if fds:
@@ -925,6 +984,11 @@ def search_topk(
             fnt = _field_terms(fnot, "fields_not")
             ex_terms = sorted(set(ex_terms)
                               | {t for ts in fnt.values() for t in ts})
+        demote_spec = None
+        if neg is not None:
+            neg_terms = sorted(set(tokenize_py(neg[0], unicode=uni)))
+            if neg_terms:  # all-absent negative text = identity, not error
+                demote_spec = (neg_terms, neg[1])
         if m in POSITIONAL_MODES:
             toks = tokenize_py(text, unicode=uni)
         elif pf:
@@ -978,27 +1042,32 @@ def search_topk(
                 norm_bo[ts[0]] = w
             bo = norm_bo
         q_specs.append([toks, m, nw, ex_terms, mm, af, bo, req_toks,
-                        chain_specs, dmx, f_groups])
+                        chain_specs, dmx, f_groups, demote_spec])
     need_stems = sorted({s for qs in q_specs if isinstance(qs[0], tuple)
                          for s in qs[0][2]})
     need_fuzz = sorted({f for qs in q_specs if isinstance(qs[0], tuple)
                         for f in qs[0][3]})
     need_wild = sorted({p for qs in q_specs if isinstance(qs[0], tuple)
                         for p in qs[0][4]})
-    if need_stems or need_fuzz or need_wild:
+    need_re = sorted({p for qs in q_specs if isinstance(qs[0], tuple)
+                      for p in qs[0][5]})
+    if need_stems or need_fuzz or need_wild or need_re:
         exp = (_expand_stems(store, version, need_stems, cache, cfg)
                if need_stems else {})
         fexp = (_expand_fuzzy(store, version, need_fuzz, cache, cfg)
                 if need_fuzz else {})
         wexp = (_expand_wildcards(store, version, need_wild, cache, cfg)
                 if need_wild else {})
+        rexp = (_expand_regex(store, version, need_re, cache, cfg)
+                if need_re else {})
         for qs in q_specs:
             if isinstance(qs[0], tuple):
-                _, plains, stems, fuzz, wilds = qs[0]
+                _, plains, stems, fuzz, wilds, regexes = qs[0]
                 qs[0] = sorted(set(plains)
                                | {t for s in stems for t in exp[s]}
                                | {t for f in fuzz for t in fexp[f]}
-                               | {t for p in wilds for t in wexp[p]})
+                               | {t for p in wilds for t in wexp[p]}
+                               | {t for p in regexes for t in rexp[p]})
     # boost keys must name actual query terms (post-expansion; corpus-
     # absent query terms still count — the boost is then a no-op, but
     # the user DID type that term). A stray key is a typo, not a no-op.
@@ -1052,7 +1121,10 @@ def search_topk(
     # ride the same pushed-down IN filter; only their doc ids decode).
     # store_dl=False layout: postings carry no dl, so the reserved norms
     # row rides in the same pushed-down scan (one extra row per shard).
-    excl_scan = sorted({t for qs in q_specs for t in qs[3]} - set(live_terms))
+    excl_scan = sorted(
+        ({t for qs in q_specs for t in qs[3]}
+         | {t for qs in q_specs if qs[11] is not None for t in qs[11][0]})
+        - set(live_terms))
     scan_terms = live_terms + excl_scan
     if not bool(meta.get("store_dl", True)):
         scan_terms = scan_terms + [NORMS_TERM]
@@ -1249,6 +1321,63 @@ def facet_counts(
         .groupBy("query_id", "facet")
         .agg(*aggs)
     )
+
+
+def _expand_regex(
+    store: SnapshotStore,
+    version: int | None,
+    pats: list[str],
+    cache: dict,
+    cfg: EngineConfig,
+) -> dict[str, list[str]]:
+    """Expand whole-term regex patterns ('/pat/' — Lucene RegexpQuery:
+    the pattern must match the ENTIRE term) against the index
+    DICTIONARY: ONE stats-table scan with OR'd anchored rlike
+    predicates serves every pattern in the batch. Like leading
+    wildcards, a regex cannot push a prefix down, so the scan reads the
+    (dictionary-sized, term-sorted) stats table; the corpus is never
+    touched. Same max_prefix_expansion cap and per-snapshot idf-cache
+    seeding as the other expansions (keyed '/pattern'); field terms
+    are excluded (':' can only come from field postings)."""
+    from functools import reduce
+    from operator import or_
+
+    cap = cfg.max_prefix_expansion
+    missing = [p for p in pats if ("/" + p) not in cache]
+    if missing:
+        cond = reduce(or_, [
+            F.col("term").rlike(f"^(?:{p})$") for p in missing
+        ]) & ~F.col("term").contains(":")
+        total_cap = cap * len(missing)
+        rows = (
+            store.read("stats", version)
+            .filter(cond)
+            .select("term", "idf")
+            .limit(total_cap + 1)
+            .collect()
+        )
+        if len(rows) > total_cap:
+            raise ValueError(
+                f"regex expansion exceeds {total_cap} terms for "
+                f"{missing}; narrow the pattern or raise "
+                "EngineConfig.max_prefix_expansion"
+            )
+        import re as _re
+
+        for p in missing:
+            rx = _re.compile(f"^(?:{p})$")
+            # driver-side re-verify attributes shared scan rows to the
+            # right pattern (the scan OR'd all patterns together)
+            got = [(r["term"], float(r["idf"])) for r in rows
+                   if rx.match(r["term"])]
+            if len(got) > cap:
+                raise ValueError(
+                    f"regex '/{p}/' expands to {len(got)} terms "
+                    f"(> max_prefix_expansion={cap}); narrow it")
+            cache["/" + p] = [t for t, _ in got]
+            for t, i in got:
+                cache[t] = i
+    return {p: cache["/" + p] for p in pats}
 
 
 def significant_terms(

@@ -109,3 +109,44 @@ def test_bare_tilde_is_distance_1(spark, setup):
     a = rows(eng.search("hash~", k=K, expand_prefixes=True))
     b = rows(eng.search("hash~1", k=K, expand_prefixes=True))
     assert a == b and a
+
+
+# ---- regex queries ('/pattern/' — Lucene RegexpQuery) -----------------------
+
+
+def test_regex_expansion_equals_python_recount(spark, setup):
+    """'/pat/' expands to exactly the dictionary terms the anchored
+    Python regex matches; results equal the brute-force search over
+    that expanded term set."""
+    import re
+
+    eng, corpus = setup
+    pat = "wat.r|p[eo]ople"
+    rx = re.compile(f"^(?:{pat})$")
+    vocab = [r["term"] for r in corpus.term_stats.select("term").collect()]
+    want_terms = sorted(t for t in vocab if rx.match(t))
+    assert want_terms, "fixture vocabulary must match the pattern"
+    got = rows(eng.search(f"/{pat}/", k=K, expand_prefixes=True))
+    want = rows(bruteforce_topk(spark, corpus, " ".join(want_terms), k=K))
+    assert got == want
+
+
+def test_regex_composes_and_validates(spark, setup):
+    eng, corpus = setup
+    # composes with plain tokens in one query
+    got = rows(eng.search("water /peo.le/", k=K, expand_prefixes=True))
+    want = rows(bruteforce_topk(spark, corpus, "water people", k=K))
+    assert got == want
+    # invalid pattern raises loudly at parse time
+    with pytest.raises(ValueError, match="bad regex"):
+        eng.search("/wat[er/", k=K, expand_prefixes=True).collect()
+    # no-match regex is empty, not an error
+    assert rows(eng.search("/zzz[0-9]+qqq/", k=K,
+                           expand_prefixes=True)) == []
+
+
+def test_regex_via_query_string(spark, setup):
+    eng, corpus = setup
+    got = rows(eng.query_string("/wat.r/ people", k=K))
+    want = rows(bruteforce_topk(spark, corpus, "water people", k=K))
+    assert got == want
