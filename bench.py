@@ -453,6 +453,20 @@ interleaved rounds), values byte-identical.
 
 Regenerate the table's numbers: `python tools/ab_bench.py 4`.
 
+## r5 slow-window attribution (read before comparing totals across rounds)
+
+Three late-r5 runs on identical code read comparable totals 36.7 / 30.0 /
+28.1 s vs the same round's earlier 19.4 s self-run. The inflation is
+uniform across keys with ZERO r5 code changes (`q_tpch_q1` 0.45→0.63-0.71,
+`q_minhash_lsh_pairs` 2.83→4.2-5.3, `q_knn_bruteforce` 0.54→0.79-0.98) and
+the single-core build throughput — one JVM, one thread, no shuffle — fell
+in lockstep (3,374 → 2,172-2,497 turns/s·core), which only a host-level
+cause (cross-VM memory-bus contention, probed in the scaling section)
+produces. Scaling efficiency stayed ≥ 0.8 in every run (1.008 / 0.908 /
+0.904) because the estimator compares N and 4N inside the same window.
+The 19.4 s-era per-key table is preserved in git history (BENCH.md as of
+commit 35b5c89^).
+
 ## Headline operator timings ({SF_DIR}, local[{CPUS}], steady-state JVM)
 
 | op | sec |

@@ -76,15 +76,79 @@ def snippet_col(text: Column, terms: list[str], window: int = 5,
     return F.when(anchor.isNotNull(), F.concat_ws(" ", marked))
 
 
+def snippets_col(text: Column, terms: list[str], window: int = 5,
+                 n_fragments: int = 3, unicode: bool = False) -> Column:
+    """UP TO n_fragments highlighted snippets (ES highlight
+    number_of_fragments) as array<string>, or NULL when no term occurs.
+
+    Anchor selection is pinned for reproducibility: hits rank by
+    (window_score DESC, position ASC) — encoded as one sortable key so
+    both engines order identically — and are taken GREEDILY, skipping
+    any hit within 2·window of an already-selected anchor (fragments
+    never overlap). Fragments are emitted in DOCUMENT ORDER (ES's
+    default), each highlighted like snippet_col. Pure built-in Columns:
+    the greedy pass is one F.aggregate over the ≤|hits| ranked keys —
+    no Python, row-parallel at any scale."""
+    if n_fragments < 1:
+        raise ValueError("n_fragments must be >= 1")
+    toks = tokens_col(text, unicode=unicode)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    hits = F.filter(
+        F.transform(toks, lambda t, i: F.when(F.array_contains(term_arr, t),
+                                              i + 1).otherwise(0)),
+        lambda p: p > 0,
+    )
+    # sortable key: (window_score DESC, pos ASC) → score·BIG − pos DESC;
+    # positions are array indices (≪ 2^31), scores ≤ |hits| — no overflow
+    # in the int64 key for any realistic document
+    big = F.lit(2_147_483_648).cast("long")
+    keys = F.reverse(F.array_sort(F.transform(
+        hits,
+        lambda p: (F.size(F.filter(hits, lambda q: F.abs(q - p) <= window))
+                   .cast("long") * big - p.cast("long")),
+    )))
+    # greedy non-overlapping selection of up to n_fragments anchors.
+    # Recovering the position from the key: key = score·big − pos with
+    # 1 ≤ pos < big ⇒ key mod big = big − pos ⇒ pos = big − (key mod big)
+    anchors = F.aggregate(
+        keys,
+        F.expr("CAST(array() AS array<bigint>)"),
+        lambda acc, kv: F.when(
+            (F.size(acc) < n_fragments)
+            & ~F.exists(acc, lambda a:
+                        F.abs(a - (big - F.pmod(kv, big))) <= 2 * window),
+            F.array_append(acc, big - F.pmod(kv, big))).otherwise(acc),
+    )
+    ordered = F.array_sort(anchors)  # document order
+
+    def _frag(anchor: Column) -> Column:
+        start = F.greatest(anchor - F.lit(window), F.lit(1)).cast("int")
+        length = (anchor + F.lit(window) - start + F.lit(1)).cast("int")
+        win = F.slice(toks, start, length)
+        marked = F.transform(
+            win,
+            lambda t: F.when(F.array_contains(term_arr, t),
+                             F.concat(F.lit("["), t, F.lit("]"))).otherwise(t),
+        )
+        return F.concat_ws(" ", marked)
+
+    return F.when(F.size(hits) > 0, F.transform(ordered, _frag))
+
+
 def with_snippets(df: DataFrame, query_terms: list[str], text_col: str = "text",
                   window: int = 5, unicode: bool = False,
-                  out_col: str = "snippet") -> DataFrame:
+                  out_col: str = "snippet", n_fragments: int = 1) -> DataFrame:
     """Attach a snippet column for the given query terms (typically the
     ≤ k·|queries| rows coming back from search_with_text — driver-tiny,
-    but the expression is row-parallel and works at any scale)."""
-    return df.withColumn(
-        out_col, snippet_col(F.col(text_col), query_terms, window, unicode)
-    )
+    but the expression is row-parallel and works at any scale).
+    n_fragments > 1 switches to the multi-fragment form (array<string>
+    of up to that many non-overlapping highlighted windows, document
+    order — ES highlight number_of_fragments)."""
+    col = (snippet_col(F.col(text_col), query_terms, window, unicode)
+           if n_fragments == 1
+           else snippets_col(F.col(text_col), query_terms, window,
+                             n_fragments, unicode))
+    return df.withColumn(out_col, col)
 
 
 def snippet_sql(text_expr: str, terms: list[str], window: int = 5) -> str:

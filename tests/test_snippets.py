@@ -80,3 +80,69 @@ def test_snippet_anchors_mid_document_cluster(spark):
         "SELECT " + snippet_sql("x", ["fox", "dog"], 3) + " FROM t"
     ).fetchone()[0]
     assert want == s
+
+
+# ---- multi-fragment highlighting (ES number_of_fragments) -------------------
+
+
+def _py_fragments(text, terms, window, n):
+    """Python recount of snippets_col's pinned semantics."""
+    import re
+    toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+    hits = [i + 1 for i, t in enumerate(toks) if t in terms]
+    if not hits:
+        return None
+    scores = {p: sum(1 for q in hits if abs(q - p) <= window) for p in hits}
+    ranked = sorted(hits, key=lambda p: (-scores[p], p))
+    sel = []
+    for p in ranked:
+        if len(sel) >= n:
+            break
+        if all(abs(p - a) > 2 * window for a in sel):
+            sel.append(p)
+    out = []
+    for a in sorted(sel):
+        lo = max(1, a - window)
+        win = toks[lo - 1: a + window]
+        out.append(" ".join(f"[{t}]" if t in terms else t for t in win))
+    return out
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+@pytest.mark.parametrize("window", [2, 3])
+def test_multi_fragments_equal_python_recount(spark, n, window):
+    from hora_spark.functions.snippets import snippets_col
+
+    rows = TEXTS + [
+        "fox one two three four five six seven eight nine ten fox and a "
+        "dog dog dog cluster sits here while a lone fox trails the end fox",
+        "dog " + "filler " * 20 + "fox fox fox " + "pad " * 20 + "dog dog",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               "i int, text string")
+    got = {r["i"]: r["s"] for r in df.select(
+        "i", snippets_col(F.col("text"), TERMS, window, n).alias("s"))
+        .collect()}
+    for i, t in enumerate(rows):
+        want = _py_fragments(t, TERMS, window, n)
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_multi_fragments_never_overlap_and_doc_order(spark):
+    from hora_spark.functions.snippets import snippets_col
+
+    text = ("fox a b dog c d fox " + "x " * 30
+            + "dog dog fox " + "y " * 30 + "fox end dog")
+    df = spark.createDataFrame([(text,)], "text string")
+    frags = df.select(
+        snippets_col(F.col("text"), TERMS, 3, 3).alias("s")
+    ).collect()[0]["s"]
+    assert 1 <= len(frags) <= 3
+    # fragments appear in document order: their first highlighted token's
+    # position is increasing (reconstruct by locating each fragment's
+    # plain text in the token stream)
+    plain = [f.replace("[", "").replace("]", "") for f in frags]
+    toks = " ".join(
+        t for t in text.lower().split())
+    idx = [toks.find(p.split()[0] + " ") for p in plain]
+    assert all(i >= 0 for i in idx)
