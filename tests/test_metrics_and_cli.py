@@ -253,3 +253,34 @@ def test_ivf_knn_recall_floor(spark):
     hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
     total = sum(len(v) for v in ex.values())
     assert hits / total >= 0.8, f"IVF recall {hits}/{total}"
+
+
+def test_cli_round5_flags(spark, tmp_path):
+    """CLI parity for the round-5 surface: --field-cols at build;
+    --field/--not-field, --score-mode/--tie-breaker,
+    --negative/--negative-boost, --collapse-by/--per-group at search."""
+    from hora_spark import cli
+
+    out = str(tmp_path / "tx")
+    idx = str(tmp_path / "fidx")
+    assert cli.main(["datagen", "--out", out, "--convs", "40"]) == 0
+    assert cli.main(["build", "--input", out, "--index", idx,
+                     "--field-cols", "role"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5",
+                     "--field", "role=user"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5",
+                     "--field", "role=user,assistant",
+                     "--not-field", "role=tool"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5",
+                     "--score-mode", "dismax", "--tie-breaker", "0.3"]) == 0
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5",
+                     "--negative", "water", "--negative-boost", "0.5"]) == 0
+    # field clause through the query-string path
+    assert cli.main(["search", "--index", idx, "-q", "the of role:user",
+                     "-k", "5", "--query-string"]) == 0
+    docs_pq = str(tmp_path / "docs_clp")
+    spark.read.parquet(out).selectExpr(
+        "cast(turn_idx as long) as doc_id", "conv_id").write.parquet(docs_pq)
+    assert cli.main(["search", "--index", idx, "-q", "the of", "-k", "5",
+                     "--collapse-by", f"{docs_pq}:conv_id",
+                     "--per-group", "2"]) == 0
