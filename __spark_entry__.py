@@ -1106,9 +1106,14 @@ def _q_exact_dups(spark, sf_dir):
 
 def _q_exact_dedup_count(spark, sf_dir):
     """Kept for bench.py cross-round comparability (consolidated out of
-    queries() in r5 — n_kept is derivable from exact_dup_groups)."""
-    kept = dedup.exact_dedup(_docs(spark, sf_dir))
-    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    queries() in r5 — n_kept is derivable from exact_dup_groups).
+    r6: the kept-count IS the number of distinct content hashes (one
+    representative per class), so the count computes in one scan + one
+    exact two-phase distinct agg — no semi-join, tokenize+md5 once."""
+    from hora_spark.operators.dedup import normalized_text_col
+
+    h = F.md5(normalized_text_col(F.col("text")))
+    return _docs(spark, sf_dir).agg(F.count_distinct(h).alias("n_kept"))
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):

@@ -140,6 +140,16 @@ class EngineConfig:
     # because a distance-2 match over a huge vocabulary ORs many posting
     # scans (Lucene caps FuzzyQuery rewrites the same way)
     max_fuzzy_expansion: int = 256
+    # dictionary caching (query-path latency): the first idf lookup per
+    # snapshot probes the stats table with ONE limit-bounded collect; a
+    # vocabulary at or below this many terms is loaded whole into the
+    # per-version idf cache, so every later search/expansion resolves
+    # idfs (and prefix/wildcard/regex expansions) driver-side with ZERO
+    # extra Spark jobs. Bigger vocabularies fall back to the per-term
+    # pushed-down isin scan — the limit stops the probe scan early, so
+    # the probe costs one ordinary lookup job even at web scale. Driver
+    # memory bound: ~40 bytes/term → ≤ ~8 MB at the default. 0 disables.
+    max_idf_cache_terms: int = 200_000
     # tombstone sets at or below this many ids are collected to the driver
     # and broadcast (8 bytes/id → ≤ ~8 MB); above it the query and
     # compaction paths switch to a shard-aligned cogroup so the delete set

@@ -252,9 +252,11 @@ class Engine:
         'always'."""
         from hora_spark.operators.suggest import suggest_terms
 
+        v = self.store.current_version() if version is None else version
+        cache = self._idf_caches.setdefault(v, {})
         return suggest_terms(self.spark, self.store, query, cfg=self.cfg,
                              n=n, max_distance=max_distance, mode=mode,
-                             version=version)
+                             version=version, idf_cache=cache)
 
     def more_like_this(self, text: str, k: int | None = None,
                        max_terms: int = 10, min_term_freq: int = 1,
@@ -395,8 +397,6 @@ class Engine:
         docs) against standing `queries` using THIS index's frozen stats
         (idf/avgdl); keep matches ≥ min_score. The batch verb behind
         streaming/routing.stream_route."""
-        from pyspark.sql import functions as F
-
         from hora_spark.functions.tokenize import tokenize_py
         from hora_spark.streaming.routing import route_docs
 
@@ -410,8 +410,13 @@ class Engine:
             )
         uni = bool(meta.get("unicode", False))
         terms = sorted({t for q in queries for t in tokenize_py(q, unicode=uni)})
-        stats = self.store.read("stats").filter(F.col("term").isin(terms))
-        idf = {r["term"]: float(r["idf"]) for r in stats.collect()}
+        # standing-query idfs resolve through the same per-snapshot cache
+        # as search (zero-job once the small-vocab dictionary is loaded)
+        cache = self._idf_caches.setdefault(self.store.current_version(), {})
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            _query._idf_lookup(self.store, None, cache, self.cfg, missing)
+        idf = {t: cache[t] for t in terms if cache[t] is not None}
         return route_docs(df, queries, idf, float(meta["avgdl"]), min_score,
                           id_cols=id_cols, text_col=text_col,
                           bm25=self.cfg.bm25, unicode=uni)

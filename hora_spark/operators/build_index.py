@@ -150,54 +150,67 @@ def _commit_stats_and_lineage(
         return
 
     norms = seg_meta.filter(F.col("term") == NORMS_TERM)
-    row = norms.agg(
-        F.sum("df_local").alias("n_docs"),
-        F.sum(F.element_at("block_tf_max", 1)).alias("sum_dl"),
-    ).collect()[0]
-    n_docs = int(row["n_docs"] or 0)
-    avgdl = float(row["sum_dl"]) / n_docs if n_docs else 1.0
-
     terms = seg_meta.filter(F.col("term") != NORMS_TERM)
-    term_stats = (
-        terms.groupBy("term")
-        .agg(F.sum("df_local").alias("df"))
-        .withColumn("idf", idf_col(F.lit(n_docs), F.col("df"), cfg.bm25))
-    )
-    d_stats = store.write_table("stats", term_stats.sortWithinPartitions("term"))
 
-    # bytes per shard from the FILESYSTEM, not by re-reading blob columns
-    # (aggregating array<binary> lengths forces a full blob scan — measured
-    # ~120 core-s at the 1.25M-turn fixture; file sizes are free). The walk
-    # uses the Hadoop FileSystem API so lineage works on HDFS/S3 too, and
-    # the (dir, shard) → (bytes, wall) map joins in as a broadcast side —
-    # its cardinality is shards × dirs, driver-trivial, and the join keeps
-    # the whole lineage job JVM-side (no per-row Python).
-    sizes_rows = [
-        (d, sid, sz, float(wall_by_dir.get(d, 0.0)))
-        for d in seg_dirs
-        for sid, sz in _shard_bytes(spark, d).items()
-    ]
-    sizes_df = spark.createDataFrame(
-        sizes_rows or [("", -1, 0, 0.0)],
-        "_dir string, shard_id int, bytes long, wall_time_s double",
-    )
-
-    lineage = (
-        terms.groupBy("shard_id", "_dir")
-        .agg(
-            F.min("term").alias("term_lo"),
-            F.max("term").alias("term_hi"),
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("df_local").alias("doc_count"),
+    def _write_lineage() -> str:
+        # bytes per shard from the FILESYSTEM, not by re-reading blob
+        # columns (aggregating array<binary> lengths forces a full blob
+        # scan — measured ~120 core-s at the 1.25M-turn fixture; file
+        # sizes are free). The walk uses the Hadoop FileSystem API so
+        # lineage works on HDFS/S3 too, and the (dir, shard) → (bytes,
+        # wall) map joins in as a broadcast side — its cardinality is
+        # shards × dirs, driver-trivial, and the join keeps the whole
+        # lineage job JVM-side (no per-row Python).
+        sizes_rows = [
+            (d, sid, sz, float(wall_by_dir.get(d, 0.0)))
+            for d in seg_dirs
+            for sid, sz in _shard_bytes(spark, d).items()
+        ]
+        sizes_df = spark.createDataFrame(
+            sizes_rows or [("", -1, 0, 0.0)],
+            "_dir string, shard_id int, bytes long, wall_time_s double",
         )
-        .join(F.broadcast(sizes_df), ["shard_id", "_dir"], "left")
-        .na.fill({"bytes": 0, "wall_time_s": 0.0})
-        .withColumn("build_id", F.lit(build_id))
-        .withColumn("seg_id", F.col("shard_id"))
-        .select(*LINEAGE_COLS)
-    )
-    d_lin = store.stage_dir("lineage")
-    lineage.write.mode("overwrite").parquet(d_lin)
+        lineage = (
+            terms.groupBy("shard_id", "_dir")
+            .agg(
+                F.min("term").alias("term_lo"),
+                F.max("term").alias("term_hi"),
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("df_local").alias("doc_count"),
+            )
+            .join(F.broadcast(sizes_df), ["shard_id", "_dir"], "left")
+            .na.fill({"bytes": 0, "wall_time_s": 0.0})
+            .withColumn("build_id", F.lit(build_id))
+            .withColumn("seg_id", F.col("shard_id"))
+            .select(*LINEAGE_COLS)
+        )
+        d = store.stage_dir("lineage")
+        lineage.write.mode("overwrite").parquet(d)
+        return d
+
+    # the lineage job is independent of the stats chain (norms agg →
+    # idf → stats write), so it runs CONCURRENTLY from a driver thread
+    # (guide §2.6: actions are only sequential because driver code calls
+    # them sequentially); both jobs scan the same pruned metadata
+    # columns, and the scheduler back-fills each job's straggler tail
+    # with the other's tasks
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_lineage = pool.submit(_write_lineage)
+        row = norms.agg(
+            F.sum("df_local").alias("n_docs"),
+            F.sum(F.element_at("block_tf_max", 1)).alias("sum_dl"),
+        ).collect()[0]
+        n_docs = int(row["n_docs"] or 0)
+        avgdl = float(row["sum_dl"]) / n_docs if n_docs else 1.0
+        term_stats = (
+            terms.groupBy("term")
+            .agg(F.sum("df_local").alias("df"))
+            .withColumn("idf", idf_col(F.lit(n_docs), F.col("df"), cfg.bm25))
+        )
+        d_stats = store.write_table("stats", term_stats.sortWithinPartitions("term"))
+        d_lin = fut_lineage.result()
     # replace: stats and lineage are recomputed in full from the final
     # segment set (mid-build wave commits only carried resume stubs)
     store.commit(
@@ -274,6 +287,25 @@ def build_index(
         n_shards = cfg.index.n_shards_for(max_id + 1)
         shard_size = max(1, (max_id + n_shards) // n_shards)
         _dbg("ids assigned")
+
+        # small-corpus scan starvation: a corpus that lives in one file /
+        # one parquet row group tokenizes in ONE task however many cores
+        # exist (split granularity is the row group). When the counted
+        # corpus is provably small — so one extra narrow shuffle of the
+        # raw text is trivially cheap AND the double-execution risk of
+        # df.rdd on exotic plans is bounded by the same row count — fan
+        # the input out to the core count before the tokenize pass. Big
+        # corpora never enter (they have enough splits, and their text
+        # must not be re-shuffled; guide §2.3).
+        para = spark.sparkContext.defaultParallelism
+        if max_id + 1 <= 5_000_000 and para > 1:
+            try:
+                in_parts = df.rdd.getNumPartitions()
+            except Exception:
+                in_parts = para
+            if in_parts < para:
+                df = df.repartition(para)
+                _dbg(f"input fanned out {in_parts} → {para} partitions")
 
         # ---- ONE tokenize pass → map-side PARTIAL segment rows ------------
         # (postings pre-packed per (shard, term) per batch: the shuffle and

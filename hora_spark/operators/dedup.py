@@ -50,11 +50,16 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-id representative of each content class (distributed:
-    window-free, one groupBy + semi-join)."""
+    window-free, one groupBy + semi-join). The hash side projects only
+    (id, hash), so the tokenize+md5 subtree runs ONCE — the previous
+    join-on-(hash, id) form recomputed it on both sides of the self-join
+    — and the payload side joins back by id alone (broadcastable while
+    the kept-id set is small; sort-merge by id at scale — the same
+    narrow-key shuffle the hash form paid, minus the second tokenize)."""
     h = F.md5(normalized_text_col(F.col(text_col)))
-    with_h = df.withColumn("content_hash", h)
-    keep = with_h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    return with_h.join(keep, ["content_hash", id_col], "left_semi").drop("content_hash")
+    hashes = df.select(F.col(id_col).alias(id_col), h.alias("content_hash"))
+    keep = hashes.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
 
 
 # ------------------------------------------------------------- MinHash ---
@@ -70,17 +75,20 @@ def shingles_col(text: Column, w: int = 3) -> Column:
     )
 
 
-def minhash_signature_col(text: Column, n_hashes: int = 16, w: int = 3) -> Column:
-    """k salted-md5 min-hashes over the shingle set. md5 is the portable
-    'random permutation': min over md5(i || ':' || shingle) per salt i."""
-    sh = shingles_col(text, w)
-
+def _minhash_of_shingles(sh: Column, n_hashes: int) -> Column:
+    """Signature over an already-computed shingle array column."""
     # unary lambda via closure — a second (default) param would make Spark
     # bind the array index to it
     def salted(i: int):
         return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
 
     return F.array(*[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)])
+
+
+def minhash_signature_col(text: Column, n_hashes: int = 16, w: int = 3) -> Column:
+    """k salted-md5 min-hashes over the shingle set. md5 is the portable
+    'random permutation': min over md5(i || ':' || shingle) per salt i."""
+    return _minhash_of_shingles(shingles_col(text, w), n_hashes)
 
 
 def minhash_lsh_candidates(
@@ -101,8 +109,15 @@ def minhash_lsh_candidates(
     only for trusted-small inputs and A/B measurement; at corpus scale one
     boilerplate bucket of b docs would emit b² join rows."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature_col(F.col(text_col), n_hashes, w)
-    base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    # stage the shingle array as its own column: the n_hashes salted
+    # min-hash expressions each traverse it, and CollapseProject keeps a
+    # non-cheap alias referenced n_hashes times materialized — so the
+    # shingle construction (transform+slice+concat over the token array)
+    # runs once per row instead of once per salt
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), w).alias("_sh"),
+    ).select("doc_id", _minhash_of_shingles(F.col("_sh"), n_hashes).alias("sig"))
     band_keys = base.select(
         "doc_id",
         F.explode(

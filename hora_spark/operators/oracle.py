@@ -33,8 +33,11 @@ def query_terms_df(spark, query: str, corpus: Corpus, cfg: EngineConfig) -> Data
     terms = sorted(set(tokenize_py(query, unicode=corpus.unicode)))
     if not terms:
         terms = ["\x00__no_such_term__"]
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    return qdf.join(F.broadcast(corpus.term_stats), "term", "inner")
+    # an isin filter instead of a join against the full stats table: the
+    # grouping-column predicate pushes BELOW the df aggregation, so only
+    # the query terms' tf rows aggregate — and the downstream broadcast
+    # ships ≤ |terms| rows, never the vocabulary
+    return corpus.term_stats.filter(F.col("term").isin(terms))
 
 
 def bruteforce_topk(

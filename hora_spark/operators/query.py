@@ -307,6 +307,71 @@ def _shard_search(
 
 _FUZZY_RE = re.compile(r"^(?P<stem>.+?)~(?P<dist>[12])?$")
 
+# idf-cache sentinel keys ('\x00' is unreachable by both tokenizer modes,
+# so they can never collide with a real term; expansion keys '*stem',
+# '~d:stem', '/pat' are likewise tokenizer-unreachable):
+#   _CACHE_COMPLETE → the SORTED full term list of this snapshot's
+#     dictionary (every term also has its idf cached) — set when the
+#     vocabulary fit under cfg.max_idf_cache_terms;
+#   _CACHE_PROBED → the one-shot full-load probe already ran (don't
+#     re-probe a big vocabulary on every call).
+_CACHE_COMPLETE = "\x00__vocab_complete__"
+_CACHE_PROBED = "\x00__vocab_probed__"
+_CACHE_DF = "\x00__df_map__"  # {term: df} — set only alongside _CACHE_COMPLETE
+
+
+def _cached_vocab(cache: dict | None) -> list[str] | None:
+    """The snapshot's full dictionary if the cache holds it, else None."""
+    return cache.get(_CACHE_COMPLETE) if cache else None
+
+
+def _idf_lookup(
+    store: SnapshotStore,
+    version: int | None,
+    cache: dict,
+    cfg: EngineConfig,
+    missing: list[str],
+) -> None:
+    """Resolve `missing` terms' idfs into `cache` (None = absent).
+
+    First call per snapshot: ONE limit-bounded collect probes the stats
+    table; a vocabulary at or below cfg.max_idf_cache_terms loads whole
+    (the collect doubles as the lookup), making every later lookup and
+    prefix/wildcard/regex expansion a zero-job driver operation. Above
+    the cap the probe's rows still seed the cache and lookups fall back
+    to the pushed-down per-term isin scan — the limit stops the probe
+    scan early, so big vocabularies pay one ordinary job, not a full
+    dictionary read."""
+    if cache.get(_CACHE_COMPLETE) is not None:
+        for t in missing:
+            cache.setdefault(t, None)  # complete dict: absent term
+        return
+    if not cache.get(_CACHE_PROBED) and cfg.max_idf_cache_terms > 0:
+        cache[_CACHE_PROBED] = True
+        cap = cfg.max_idf_cache_terms
+        rows = (
+            store.read("stats", version)
+            .select("term", "idf", "df")
+            .limit(cap + 1)
+            .collect()
+        )
+        for r in rows:
+            cache[r["term"]] = float(r["idf"])
+        if len(rows) <= cap:
+            cache[_CACHE_COMPLETE] = sorted(r["term"] for r in rows)
+            cache[_CACHE_DF] = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                cache.setdefault(t, None)
+            return
+        missing = [t for t in missing if t not in cache]
+        if not missing:
+            return
+    stats = store.read("stats", version).filter(F.col("term").isin(missing))
+    found = {r["term"]: float(r["idf"])
+             for r in stats.select("term", "idf").collect()}
+    for t in missing:
+        cache[t] = found.get(t)
+
 
 def _parse_prefix_terms(
     text: str, unicode: bool,
@@ -397,18 +462,26 @@ def _expand_stems(
     cap = cfg.max_prefix_expansion
     missing = [s for s in stems if ("*" + s) not in cache]
     if missing:
-        # field terms ('lang:en') are filter vocabulary, not dictionary
-        # words — a stem like 'lang' must not expand into them
-        cond = reduce(or_, [F.col("term").startswith(s) for s in missing])
-        cond = cond & ~F.col("term").contains(":")
         total_cap = cap * len(missing)
-        rows = (
-            store.read("stats", version)
-            .filter(cond)
-            .select("term", "idf")
-            .limit(total_cap + 1)
-            .collect()
-        )
+        vocab = _cached_vocab(cache)
+        if vocab is not None:
+            # full dictionary already on the driver: expand with ZERO
+            # Spark jobs (same candidate set the scan would return)
+            rows = [{"term": t, "idf": cache[t]} for t in vocab
+                    if ":" not in t and any(t.startswith(s) for s in missing)
+                    ][:total_cap + 1]
+        else:
+            # field terms ('lang:en') are filter vocabulary, not dictionary
+            # words — a stem like 'lang' must not expand into them
+            cond = reduce(or_, [F.col("term").startswith(s) for s in missing])
+            cond = cond & ~F.col("term").contains(":")
+            rows = (
+                store.read("stats", version)
+                .filter(cond)
+                .select("term", "idf")
+                .limit(total_cap + 1)
+                .collect()
+            )
         if len(rows) > total_cap:
             raise ValueError(
                 f"prefix expansion exceeds {total_cap} terms for stems "
@@ -529,19 +602,28 @@ def _expand_wildcards(
     cap = cfg.max_prefix_expansion
     missing = [p for p in pats if ("*" + p) not in cache]
     if missing:
-        cond = reduce(or_, [
-            F.col("term").like(p.replace("*", "%").replace("?", "_"))
-            for p in missing]) & ~F.col("term").contains(":")
-        # ^ field terms aren't dictionary words: '*ow' must not match
-        # a hypothetical 'lang:yellow' posting
         total_cap = cap * len(missing)
-        rows = (
-            store.read("stats", version)
-            .filter(cond)
-            .select("term", "idf")
-            .limit(total_cap + 1)
-            .collect()
-        )
+        vocab = _cached_vocab(cache)
+        if vocab is not None:
+            # full dictionary on the driver: fnmatch (the attribution
+            # authority below either way) filters it with zero Spark jobs
+            rows = [{"term": t, "idf": cache[t]} for t in vocab
+                    if ":" not in t
+                    and any(fnmatch.fnmatchcase(t, p) for p in missing)
+                    ][:total_cap + 1]
+        else:
+            cond = reduce(or_, [
+                F.col("term").like(p.replace("*", "%").replace("?", "_"))
+                for p in missing]) & ~F.col("term").contains(":")
+            # ^ field terms aren't dictionary words: '*ow' must not match
+            # a hypothetical 'lang:yellow' posting
+            rows = (
+                store.read("stats", version)
+                .filter(cond)
+                .select("term", "idf")
+                .limit(total_cap + 1)
+                .collect()
+            )
         if len(rows) > total_cap:
             raise ValueError(
                 f"wildcard expansion exceeds {total_cap} terms for "
@@ -1089,15 +1171,14 @@ def search_topk(
     if not all_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    # idf lookup: pushdown filter on the stats table (term-sorted parquet);
-    # result is query-sized (≤ |distinct query terms| rows) → tiny collect.
-    # Prefix expansions pre-seeded the cache, so they cost no extra job.
+    # idf lookup: small vocabularies resolve from the one-shot full
+    # dictionary cache (zero jobs after the first probe); big ones fall
+    # back to a pushdown isin filter on the term-sorted stats parquet —
+    # query-sized result, tiny collect. Prefix expansions pre-seeded the
+    # cache, so they cost no extra job.
     missing = [t for t in all_terms if t not in cache]
     if missing:
-        stats = store.read("stats", version).filter(F.col("term").isin(missing))
-        found = {r["term"]: float(r["idf"]) for r in stats.select("term", "idf").collect()}
-        for t in missing:
-            cache[t] = found.get(t)
+        _idf_lookup(store, version, cache, cfg, missing)
     idf_map = {t: cache[t] for t in all_terms if cache[t] is not None}
     if not idf_map:
         # no scoring term is live: a fielded filter alone never
@@ -1223,9 +1304,24 @@ def search_topk(
         # the union needs no dedup and downstream aggregation (facets,
         # counting, exports) keeps its partial/final shape
         return local
+    # global top-k: per-shard output is ≤ k rows per query, so the merge
+    # input is bounded by n_shards·|queries|·k rows — driver-computable
+    # from the snapshot meta. When that bound is small the whole merge
+    # runs in ONE single-partition task (one exchange; the per-query rank
+    # and the global (query_id, score DESC, doc_id ASC) order come from a
+    # single local sort, and the separate range-partitioned orderBy —
+    # with its sampling pass — disappears). Large fan-ins (huge shard
+    # counts × batch sizes) keep the two-exchange window plan, whose
+    # per-partition state never exceeds one query's candidate set.
+    n_shards_meta = int(meta.get("n_shards") or 0)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        local.repartition(1)
+        if n_shards_meta and n_shards_meta * len(q_specs) * k <= 2_000_000
+        else local
+    )
     return (
-        local.withColumn("rn", F.row_number().over(w))
+        ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
@@ -1345,17 +1441,30 @@ def _expand_regex(
     cap = cfg.max_prefix_expansion
     missing = [p for p in pats if ("/" + p) not in cache]
     if missing:
-        cond = reduce(or_, [
-            F.col("term").rlike(f"^(?:{p})$") for p in missing
-        ]) & ~F.col("term").contains(":")
         total_cap = cap * len(missing)
-        rows = (
-            store.read("stats", version)
-            .filter(cond)
-            .select("term", "idf")
-            .limit(total_cap + 1)
-            .collect()
-        )
+        vocab = _cached_vocab(cache)
+        if vocab is not None:
+            # full dictionary on the driver: the Python re attribution
+            # below is the authority either way, so matching it directly
+            # (zero Spark jobs) also closes the JVM-vs-Python pre-filter
+            # asymmetry for non-portable patterns
+            import re as _re0
+
+            rxs = [_re0.compile(f"^(?:{p})$") for p in missing]
+            rows = [{"term": t, "idf": cache[t]} for t in vocab
+                    if ":" not in t and any(rx.match(t) for rx in rxs)
+                    ][:total_cap + 1]
+        else:
+            cond = reduce(or_, [
+                F.col("term").rlike(f"^(?:{p})$") for p in missing
+            ]) & ~F.col("term").contains(":")
+            rows = (
+                store.read("stats", version)
+                .filter(cond)
+                .select("term", "idf")
+                .limit(total_cap + 1)
+                .collect()
+            )
         if len(rows) > total_cap:
             raise ValueError(
                 f"regex expansion exceeds {total_cap} terms for "
@@ -1440,7 +1549,11 @@ def significant_terms(
     bg_rate = F.col("bg_count") / F.lit(float(n_docs))
     scored = (
         fg.join(bg, "term")  # every fg term is in the dictionary
-        .join(fg_tot, "query_id")
+        # fg_tot has exactly one row per query — bounded by the batch
+        # size, never the corpus — but it comes out of a Python-UDF
+        # aggregation whose size Catalyst can't estimate, so without the
+        # hint the planner falls back to a two-sided shuffle join
+        .join(F.broadcast(fg_tot), "query_id")
         .withColumn("score",
                     F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6))
     )
@@ -1486,11 +1599,7 @@ def mlt_select_terms(
     cache = idf_cache if idf_cache is not None else {}
     missing = [t for t in cand if t not in cache]
     if missing:
-        stats = store.read("stats", version).filter(F.col("term").isin(missing))
-        found = {r["term"]: float(r["idf"])
-                 for r in stats.select("term", "idf").collect()}
-        for t in missing:
-            cache[t] = found.get(t)
+        _idf_lookup(store, version, cache, EngineConfig(), missing)
     weighted = [(round(tf[t] * cache[t], 6), t) for t in cand
                 if cache[t] is not None]
     weighted.sort(key=lambda x: (-x[0], x[1]))

@@ -47,6 +47,7 @@ def suggest_terms(
     max_distance: int = 2,
     mode: str = "missing",
     version: int | None = None,
+    idf_cache: dict | None = None,
 ) -> DataFrame:
     """DataFrame(input, suggestion, distance, df, rnk): up to `n`
     corrections per distinct query token, ranked (distance ASC, df DESC,
@@ -74,9 +75,17 @@ def suggest_terms(
            .filter(~F.col("term").contains(":"))
            .select("term", "df"))
     # df of each input term (null = missing) rides the broadcast side so
-    # mode filtering needs no second dictionary pass
-    in_df = {r["term"]: int(r["df"]) for r in
-             dic.filter(F.col("term").isin(terms)).collect()}
+    # mode filtering needs no second dictionary pass; when the engine's
+    # per-snapshot dictionary cache is complete, the dfs come from it
+    # with no Spark job at all
+    from hora_spark.operators.query import _CACHE_DF, _cached_vocab
+
+    if _cached_vocab(idf_cache) is not None and _CACHE_DF in idf_cache:
+        df_map = idf_cache[_CACHE_DF]
+        in_df = {t: df_map[t] for t in terms if t in df_map}
+    else:
+        in_df = {r["term"]: int(r["df"]) for r in
+                 dic.filter(F.col("term").isin(terms)).collect()}
     inputs = spark.createDataFrame(
         [(t, in_df.get(t)) for t in terms], "input string, input_df long")
     if mode == "missing":

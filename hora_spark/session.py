@@ -44,6 +44,10 @@ def get_spark(
         # have enough files/splits that this only adds harmless fan-out.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # answer bare MIN/MAX/COUNT aggregations from parquet footer
+        # statistics instead of scanning (the build's max(doc_id) probe
+        # becomes footer-only at any corpus size)
+        .config("spark.sql.parquet.aggregatePushDown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("HORA_SPARK_DRIVER_MEM", "48g"))
     )

@@ -79,6 +79,17 @@ class SnapshotStore:
         self._fs = self._resolve_fs(sc)
         self._fs.mkdirs(self._P(f"{self.root}/snapshots"))
         self._fs.mkdirs(self._P(f"{self.root}/data"))
+        # committed manifests are IMMUTABLE (the rename is the commit
+        # point), so they are cached after the first read: the query path
+        # resolves meta/tables several times per call, and each uncached
+        # resolution is a py4j FileSystem open+read round trip
+        self._manifest_cache: dict[int, dict] = {}
+        # reader memo keyed by the exact data-dir list: data dirs are
+        # immutable too, so the (file listing + schema inference) that
+        # spark.read.parquet performs per call is paid once per snapshot
+        # rather than once per query. Plans, not data — nothing is
+        # persisted/cached executor-side.
+        self._df_cache: dict[tuple[str, ...], DataFrame] = {}
 
     def _resolve_fs(self, sc):
         """Hadoop FileSystem for the root's scheme (factored out so tests
@@ -125,10 +136,16 @@ class SnapshotStore:
     def _manifest(self, version: int) -> dict:
         if version == 0:
             return {"tables": {}}
-        p = f"{self.root}/snapshots/v{version:08d}.json"
-        if not self._fs.exists(self._P(p)):
-            raise FileNotFoundError(f"no snapshot manifest {p} (expired?)")
-        return json.loads(self._read_text(p))
+        cached = self._manifest_cache.get(version)
+        if cached is None:
+            p = f"{self.root}/snapshots/v{version:08d}.json"
+            if not self._fs.exists(self._P(p)):
+                raise FileNotFoundError(f"no snapshot manifest {p} (expired?)")
+            cached = json.loads(self._read_text(p))
+            self._manifest_cache[version] = cached
+        # callers (commit) mutate the returned dict — hand out a copy so
+        # the cached manifest stays the committed bytes
+        return json.loads(json.dumps(cached))
 
     def tables(self, version: int | None = None) -> dict[str, list[str]]:
         v = self.current_version() if version is None else version
@@ -141,14 +158,20 @@ class SnapshotStore:
         dirs = self.tables(version).get(table)
         if not dirs:
             raise FileNotFoundError(f"table {table!r} not in snapshot")
+        key = tuple(dirs)
+        df = self._df_cache.get(key)
+        if df is not None:
+            return df
         if len(dirs) == 1:
-            return self.spark.read.parquet(dirs[0])
-        # appended commits = multiple immutable dirs, each its own
-        # hive-partitioned root → per-dir scan + unionByName (keeps each
-        # dir's partition pruning intact)
-        df = self.spark.read.parquet(dirs[0])
-        for d in dirs[1:]:
-            df = df.unionByName(self.spark.read.parquet(d))
+            df = self.spark.read.parquet(dirs[0])
+        else:
+            # appended commits = multiple immutable dirs, each its own
+            # hive-partitioned root → per-dir scan + unionByName (keeps
+            # each dir's partition pruning intact)
+            df = self.spark.read.parquet(dirs[0])
+            for d in dirs[1:]:
+                df = df.unionByName(self.spark.read.parquet(d))
+        self._df_cache[key] = df
         return df
 
     # ------------------------------------------------------------ writes --
@@ -223,6 +246,8 @@ class SnapshotStore:
 
     def drop(self) -> None:
         """clear() analog (/root/reference/src/core/ann_index.rs:110)."""
+        self._manifest_cache.clear()
+        self._df_cache.clear()
         self._fs.delete(self._P(self.root), True)
         self._fs.mkdirs(self._P(f"{self.root}/snapshots"))
         self._fs.mkdirs(self._P(f"{self.root}/data"))
@@ -268,6 +293,9 @@ class SnapshotStore:
                 self._fs.delete(
                     self._P(f"{self.root}/snapshots/v{v:08d}.json"), False
                 )
+                # expired versions must fail loudly on read, not serve a
+                # cached manifest whose data dirs were just collected
+                self._manifest_cache.pop(v, None)
                 removed_manifests += 1
         return {"kept_versions": keep_versions,
                 "removed_dirs": removed_dirs,
