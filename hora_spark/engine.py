@@ -225,9 +225,12 @@ class Engine:
         cand = self.spark.createDataFrame(
             [(r["doc_id"], float(r["score"])) for r in window],
             "doc_id long, base_score double")
-        keep = cand.select("doc_id")
+        # the keep-list is already on the driver (≤ window_size rows) —
+        # hand the ids to the search directly instead of a filter_df,
+        # skipping the filter's size-probe job
         prox = (
-            self.matches([query], version=version, filter_df=keep,
+            self.matches([query], version=version,
+                         allowed_ids=[r["doc_id"] for r in window],
                          mode=rescore_mode, near_window=near_window)
             .select("doc_id", F.col("score").alias("rescore_score"))
         )

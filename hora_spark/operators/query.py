@@ -668,9 +668,15 @@ def search_topk(
     fields_not: dict | None = None,
     negative: str | None = None,
     negative_boost: float = 1.0,
+    allowed_ids=None,
 ) -> DataFrame:
     """Batched top-k search → DataFrame(query_id, doc_id, score) with ≤ k
     rows per query, ordered (query_id, score DESC, doc_id ASC).
+
+    allowed_ids: driver-resident keep-list (internal fast path for
+    callers that ALREADY hold the ids — rescore's pass-1 window): same
+    semantics as filter_df but skips its size-probe job entirely. Must
+    fit the broadcast ceiling (callers pass config-bounded windows).
 
     fields: INDEX-RESIDENT fielded filters (ES filter context) —
     {field: value | [values]} over the build's IndexConfig.field_cols.
@@ -1230,9 +1236,20 @@ def search_topk(
     #   tombstones cogroup with its segment rows and no driver state
     #   grows with the delete volume.
     n_del = int(meta.get("n_deletes", 0))
-    has_filter = filter_df is not None
+    allow_pre = None
+    if allowed_ids is not None:
+        if filter_df is not None:
+            raise ValueError("pass filter_df or allowed_ids, not both")
+        allow_pre = np.unique(np.asarray(list(allowed_ids), dtype=np.int64))
+        if len(allow_pre) > cfg.max_broadcast_deletes:
+            raise ValueError(
+                f"allowed_ids holds {len(allow_pre)} ids (> "
+                f"max_broadcast_deletes={cfg.max_broadcast_deletes}); "
+                "pass a filter_df instead — the driver-resident fast "
+                "path exists for config-bounded windows only")
+    has_filter = filter_df is not None or allow_pre is not None
     allow_rows = None
-    if has_filter:
+    if filter_df is not None:
         filter_df = filter_df.select(
             F.col(filter_df.columns[0]).cast("long").alias("doc_id"))
         # ONE size-probe job: collect up to ceiling+1 ids. Small filters
@@ -1259,6 +1276,9 @@ def search_topk(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.lit(1).alias("is_del"))
         if has_filter:
+            if filter_df is None:  # driver-resident keep-list, tiny
+                filter_df = spark.createDataFrame(
+                    [(int(i),) for i in allow_pre], "doc_id long")
             fa = filter_df.select("doc_id", F.lit(0).alias("is_del"))
             aux = fa if aux is None else aux.unionByName(fa)
         aux = aux.select("doc_id", "is_del", shard_col)
@@ -1287,7 +1307,9 @@ def search_topk(
     else:
         b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
         allow_arr = None
-        if has_filter:
+        if allow_pre is not None:
+            allow_arr = allow_pre
+        elif has_filter:
             allow_arr = np.unique(np.array(
                 [r["doc_id"] for r in allow_rows], np.int64))
         b_allow = spark.sparkContext.broadcast(allow_arr)

@@ -106,7 +106,20 @@ def bruteforce_knn(
                     "sim": sims.T.ravel(),
                 })
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scan = corpus.select(id_col, vec_col)
+    scored = scan.mapInPandas(score, out_schema)
+    # each scan task emits ≤ k rows per query (map-side top-k above), so
+    # the merge input is bounded by tasks·|queries|·k. When that bound is
+    # provably small, finish in one single-partition sort (one exchange,
+    # no range sampling) — the same adaptive merge as search_topk; fall
+    # back to the two-exchange window plan when the bound is unknowable
+    # (exotic plans) or large.
+    try:
+        n_parts = scan.rdd.getNumPartitions()
+    except Exception:
+        n_parts = None
+    if n_parts is not None and n_parts * len(q_ids) * k <= 2_000_000:
+        scored = scored.repartition(1)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
