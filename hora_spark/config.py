@@ -140,6 +140,13 @@ class EngineConfig:
     # because a distance-2 match over a huge vocabulary ORs many posting
     # scans (Lucene caps FuzzyQuery rewrites the same way)
     max_fuzzy_expansion: int = 256
+    # single-task scan ceiling (query-path latency): when the segments
+    # table's pushed-down term scan is at most this many on-disk bytes
+    # (and the shard count is sane), the whole search runs as ONE task —
+    # scan, shard grouping, WAND, and the top-k merge happen in a single
+    # stage with no Exchange at all. Above it (real corpora) the plan
+    # keeps the shard exchange + distributed merge. 0 disables.
+    max_single_task_scan_bytes: int = 64 << 20
     # dictionary caching (query-path latency): the first idf lookup per
     # snapshot probes the stats table with ONE limit-bounded collect; a
     # vocabulary at or below this many terms is loaded whole into the

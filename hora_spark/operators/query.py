@@ -1304,7 +1304,8 @@ def search_topk(
             segs.groupby("shard_id").cogroup(aux.groupby("shard_id"))
             .applyInPandas(run_cg, RESULT_SCHEMA)
         )
-    else:
+    single_scan = False
+    if not big:
         b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
         allow_arr = None
         if allow_pre is not None:
@@ -1314,12 +1315,45 @@ def search_topk(
                 [r["doc_id"] for r in allow_rows], np.int64))
         b_allow = spark.sparkContext.broadcast(allow_arr)
 
-        def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
-                                 avgdl, k1, b, prune, deleted=b_del.value,
-                                 allowed=b_allow.value)
+        # SMALL-INDEX FAST PATH: when the whole segments table is at most
+        # cfg.max_single_task_scan_bytes on disk, coalesce the scan to
+        # one task and do the shard grouping inside it — scan, WAND, and
+        # the top-k merge become a single Exchange-free stage (the two
+        # shuffles of the distributed plan are pure overhead at this
+        # size). The byte check is one cached getContentSummary per
+        # immutable data dir; the shard-count pre-gate keeps that call
+        # cheap on a NameNode even for pathological layouts. Real
+        # corpora exceed the ceiling and keep the distributed plan.
+        n_sh = int(meta.get("n_shards") or 0)
+        if cfg.max_single_task_scan_bytes > 0 and 0 < n_sh <= 1024:
+            try:
+                tb = store.table_bytes("segments", version)
+            except Exception:
+                tb = None
+            single_scan = (tb is not None
+                           and tb <= cfg.max_single_task_scan_bytes)
 
-        local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
+        if single_scan:
+            def run_one(batches):
+                parts = [p for p in batches if len(p)]
+                if not parts:
+                    return
+                pdf = pd.concat(parts, ignore_index=True)
+                for _, g in pdf.groupby("shard_id", sort=False):
+                    out = _shard_search(
+                        g, b_queries.value, b_idf.value, k, avgdl, k1, b,
+                        prune, deleted=b_del.value, allowed=b_allow.value)
+                    if len(out):
+                        yield out
+
+            local = segs.coalesce(1).mapInPandas(run_one, RESULT_SCHEMA)
+        else:
+            def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+                return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
+                                     avgdl, k1, b, prune, deleted=b_del.value,
+                                     allowed=b_allow.value)
+
+            local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     if k is None:
         # match ENUMERATION: every qualifying doc with its exact score,
         # no global rank, no sort — shards are disjoint doc ranges, so
@@ -1337,11 +1371,12 @@ def search_topk(
     # per-partition state never exceeds one query's candidate set.
     n_shards_meta = int(meta.get("n_shards") or 0)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = (
-        local.repartition(1)
-        if n_shards_meta and n_shards_meta * len(q_specs) * k <= 2_000_000
-        else local
-    )
+    if single_scan:
+        ranked = local  # already one partition: no exchange needed at all
+    elif n_shards_meta and n_shards_meta * len(q_specs) * k <= 2_000_000:
+        ranked = local.repartition(1)
+    else:
+        ranked = local
     return (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -1569,13 +1604,13 @@ def significant_terms(
         "term", F.col("df").alias("bg_count"))
     fg_rate = F.col("fg_count") / F.col("fg_docs")
     bg_rate = F.col("bg_count") / F.lit(float(n_docs))
+    # NB fg_tot is one row per query but deliberately NOT broadcast-
+    # hinted: a broadcast build is its own job, so hinting would run the
+    # match enumeration twice SEQUENTIALLY; the shuffle join keeps both
+    # subtrees inside one parallel job (r6 A/B: the hint measured +20%)
     scored = (
         fg.join(bg, "term")  # every fg term is in the dictionary
-        # fg_tot has exactly one row per query — bounded by the batch
-        # size, never the corpus — but it comes out of a Python-UDF
-        # aggregation whose size Catalyst can't estimate, so without the
-        # hint the planner falls back to a two-sided shuffle join
-        .join(F.broadcast(fg_tot), "query_id")
+        .join(fg_tot, "query_id")
         .withColumn("score",
                     F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6))
     )

@@ -90,6 +90,7 @@ class SnapshotStore:
         # rather than once per query. Plans, not data — nothing is
         # persisted/cached executor-side.
         self._df_cache: dict[tuple[str, ...], DataFrame] = {}
+        self._bytes_cache: dict[tuple[str, ...], int] = {}
 
     def _resolve_fs(self, sc):
         """Hadoop FileSystem for the root's scheme (factored out so tests
@@ -232,6 +233,26 @@ class SnapshotStore:
         v = self.current_version() if version is None else version
         return self._manifest(v).get("meta", {})
 
+    def table_bytes(self, table: str, version: int | None = None) -> int | None:
+        """Total on-disk bytes of a table's data dirs (None if absent).
+        One getContentSummary call per immutable dir, cached by the dir
+        list — the query path uses it to decide whether a scan is small
+        enough to run as a single task. Callers should pre-gate on shard
+        count where a huge file tree would make the summary itself slow
+        (HDFS NameNode cost)."""
+        dirs = self.tables(version).get(table)
+        if not dirs:
+            return None
+        key = tuple(dirs)
+        cached = self._bytes_cache.get(key)
+        if cached is None:
+            total = 0
+            for d in dirs:
+                total += int(self._fs.getContentSummary(self._P(d)).getLength())
+            cached = total
+            self._bytes_cache[key] = cached
+        return cached
+
     def deleted_ids(self, version: int | None = None):
         """Sorted int64 array of tombstoned doc ids at `version`, or None.
         Shared by the query path and compaction/rebuild."""
@@ -248,6 +269,7 @@ class SnapshotStore:
         """clear() analog (/root/reference/src/core/ann_index.rs:110)."""
         self._manifest_cache.clear()
         self._df_cache.clear()
+        self._bytes_cache.clear()
         self._fs.delete(self._P(self.root), True)
         self._fs.mkdirs(self._P(f"{self.root}/snapshots"))
         self._fs.mkdirs(self._P(f"{self.root}/data"))
