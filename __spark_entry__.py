@@ -1183,7 +1183,12 @@ def _q_dup_clusters(spark, sf_dir):
 # -------------------------------------------------------- textstats family --
 
 def _q_textstats(spark, sf_dir):
-    return textstats.analyze(_docs(spark, sf_dir)).select(
+    # fan the one-row-group scan out before the per-doc stats (values and
+    # the order-insensitive hash unchanged; the single-split table would
+    # otherwise compute every row's stats in one task)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    return textstats.analyze(docs).select(
         "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "mean_token_len",
         "is_english",
     )
