@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import re
 
-_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?')
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?(\S*)')
 _BOOST_RE = re.compile(r"^(?P<body>.+?)\^(?P<w>\d+(?:\.\d+)?)$")
 _FUZZY_SUFFIX_RE = re.compile(r"^.+~[12]?$")
 
@@ -66,7 +66,19 @@ def parse_query_string(q: str) -> dict:
     phrases: list[tuple[str, int | None, bool]] = []
 
     def _take_phrase(m: re.Match) -> str:
-        sign, body, slop = m.group(1), m.group(2), m.group(3)
+        sign, body, slop, junk = (m.group(1), m.group(2), m.group(3),
+                                  m.group(4))
+        if junk:
+            # 'errors are loud': a phrase boost ('"a b"^2') or slop
+            # residue ('"a b"~3x') previously leaked back into the word
+            # stream and silently tokenized into a SHOULD term
+            if junk.startswith("^"):
+                raise ValueError(
+                    f'phrase boost "{body}"{junk} is not supported '
+                    "(boosts are term-granular: boost the phrase's terms "
+                    "instead)")
+            raise ValueError(
+                f'trailing {junk!r} after phrase "{body}" in query string')
         if sign == "-":
             raise ValueError(
                 f'must_not phrase -"{body}" is not supported (exclusion '

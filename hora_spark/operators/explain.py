@@ -142,11 +142,9 @@ def explain_scores(
     cache = idf_cache if idf_cache is not None else {}
     missing = [t for t in terms if t not in cache]
     if missing:
-        stats = store.read("stats", version).filter(F.col("term").isin(missing))
-        found = {r["term"]: float(r["idf"])
-                 for r in stats.select("term", "idf").collect()}
-        for t in missing:
-            cache[t] = found.get(t)
+        from hora_spark.operators.query import _idf_lookup
+
+        _idf_lookup(store, version, cache, cfg, missing)
     idf_map = {t: cache[t] for t in terms if cache[t] is not None}
     if not idf_map:
         return spark.createDataFrame([], _DETAIL_SCHEMA + ", idf double, "

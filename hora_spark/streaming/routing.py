@@ -68,9 +68,16 @@ def route_docs(
     toks = tokens_col(F.col(text_col), unicode=unicode)
     base = df.select(*id_cols, toks.alias("_toks")).withColumn(
         "_dl", F.size("_toks"))
+    # only standing-query terms can ever contribute (the qdf join drops
+    # the rest anyway), so filter the exploded tokens BEFORE the groupBy
+    # exchange: the shuffle then carries matched tokens only, not the
+    # whole token stream (guide §2.3 — project/filter before the
+    # exchange). _dl is the FULL token count, computed above the filter.
+    live_terms = sorted({t for _, t, _ in rows})
     tf = (
         base.filter(F.col("_dl") > 0)
         .select(*id_cols, "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(live_terms))
         .groupBy(*id_cols, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
