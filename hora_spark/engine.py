@@ -134,11 +134,15 @@ class Engine:
         terms + synonym expansion) still runs as a single job."""
         # idf cache keyed by snapshot version: stats are frozen per
         # snapshot, so repeat query terms skip the lookup job
+        # resolve the snapshot version ONCE per call: every store method
+        # downstream (meta/read/table_bytes/exists) takes the explicit
+        # version and hits the manifest cache, so the per-call FS listing
+        # happens exactly once instead of once per resolution
         v = self.store.current_version() if version is None else version
         cache = self._idf_caches.setdefault(v, {})
         return _query.search_topk(
             self.spark, self.store, queries, k=k or self.cfg.k_default,
-            cfg=self.cfg, prune=prune, version=version, idf_cache=cache,
+            cfg=self.cfg, prune=prune, version=v, idf_cache=cache,
             filter_df=filter_df, mode=mode, near_window=near_window,
             exclude=exclude, min_match=min_match,
             expand_prefixes=expand_prefixes, after=after, boosts=boosts,
@@ -186,10 +190,10 @@ class Engine:
         cache = self._idf_caches.setdefault(v, {})
         if doc_ids is None:
             top = self.search(query, k=k or self.cfg.k_default,
-                              version=version)
+                              version=v)
             doc_ids = [r["doc_id"] for r in top.select("doc_id").collect()]
         return explain_scores(self.spark, self.store, query, doc_ids,
-                              cfg=self.cfg, version=version, idf_cache=cache)
+                              cfg=self.cfg, version=v, idf_cache=cache)
 
     def rescore(self, query: str, k: int | None = None,
                 window_size: int = 100, rescore_mode: str = "phrase",
@@ -217,6 +221,8 @@ class Engine:
         # materialize the window ONCE (ES does the same): window_size rows
         # on the driver, reused as both the keep-list and the base scores —
         # pass 1's DAG runs exactly once
+        version = (self.store.current_version() if version is None
+                   else version)
         window = self.search(query, k=window_size, version=version).collect()
         if not window:
             return self.spark.createDataFrame(
@@ -259,7 +265,7 @@ class Engine:
         cache = self._idf_caches.setdefault(v, {})
         return suggest_terms(self.spark, self.store, query, cfg=self.cfg,
                              n=n, max_distance=max_distance, mode=mode,
-                             version=version, idf_cache=cache)
+                             version=v, idf_cache=cache)
 
     def more_like_this(self, text: str, k: int | None = None,
                        max_terms: int = 10, min_term_freq: int = 1,
@@ -278,12 +284,12 @@ class Engine:
         cache = self._idf_caches.setdefault(v, {})
         terms = _query.mlt_select_terms(
             self.store, text, max_terms=max_terms,
-            min_term_freq=min_term_freq, version=version, idf_cache=cache)
+            min_term_freq=min_term_freq, version=v, idf_cache=cache)
         kk = k or self.cfg.k_default
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         res = self.search(
-            " ".join(terms), version=version,
+            " ".join(terms), version=v,
             k=kk + (1 if source_doc_id is not None else 0), **kw)
         if source_doc_id is not None:
             res = (res.filter(F.col("doc_id") != int(source_doc_id))
@@ -303,7 +309,7 @@ class Engine:
         v = self.store.current_version() if version is None else version
         cache = self._idf_caches.setdefault(v, {})
         return _query.search_matches(
-            self.spark, self.store, queries, cfg=self.cfg, version=version,
+            self.spark, self.store, queries, cfg=self.cfg, version=v,
             idf_cache=cache, filter_df=filter_df, mode=mode,
             near_window=near_window, exclude=exclude, min_match=min_match,
             expand_prefixes=expand_prefixes, **kw,
@@ -319,6 +325,7 @@ class Engine:
         BM25 score). kw = any matches() option (mode, exclude, min_match,
         expand_prefixes, filter_df)."""
         v = self.store.current_version() if kw.get("version") is None else kw["version"]
+        kw["version"] = v
         cache = self._idf_caches.setdefault(v, {})
         return _query.facet_counts(
             self.spark, self.store, queries, docs_df, facet_col,
@@ -337,6 +344,7 @@ class Engine:
         exclude, min_match, expand_prefixes, filter_df)."""
         v = (self.store.current_version() if kw.get("version") is None
              else kw["version"])
+        kw["version"] = v
         cache = self._idf_caches.setdefault(v, {})
         return _query.significant_terms(
             self.spark, self.store, queries, docs_df, k_terms=k_terms,
@@ -377,6 +385,7 @@ class Engine:
 
         v = (self.store.current_version() if kw.get("version") is None
              else kw["version"])
+        kw["version"] = v
         cache = self._idf_caches.setdefault(v, {})
         return search_collapse(
             self.spark, self.store, queries, docs_df, collapse_col,
@@ -403,7 +412,8 @@ class Engine:
         from hora_spark.functions.tokenize import tokenize_py
         from hora_spark.streaming.routing import route_docs
 
-        meta = self.store.meta()
+        v = self.store.current_version()
+        meta = self.store.meta(v)
         if "avgdl" not in meta:
             # same remedy message as search_topk — routing needs the
             # frozen corpus stats a build commits
@@ -415,10 +425,10 @@ class Engine:
         terms = sorted({t for q in queries for t in tokenize_py(q, unicode=uni)})
         # standing-query idfs resolve through the same per-snapshot cache
         # as search (zero-job once the small-vocab dictionary is loaded)
-        cache = self._idf_caches.setdefault(self.store.current_version(), {})
+        cache = self._idf_caches.setdefault(v, {})
         missing = [t for t in terms if t not in cache]
         if missing:
-            _query._idf_lookup(self.store, None, cache, self.cfg, missing)
+            _query._idf_lookup(self.store, v, cache, self.cfg, missing)
         idf = {t: cache[t] for t in terms if cache[t] is not None}
         return route_docs(df, queries, idf, float(meta["avgdl"]), min_score,
                           id_cols=id_cols, text_col=text_col,

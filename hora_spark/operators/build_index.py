@@ -188,28 +188,43 @@ def _commit_stats_and_lineage(
         lineage.write.mode("overwrite").parquet(d)
         return d
 
-    # the lineage job is independent of the stats chain (norms agg →
-    # idf → stats write), so it runs CONCURRENTLY from a driver thread
-    # (guide §2.6: actions are only sequential because driver code calls
-    # them sequentially); both jobs scan the same pruned metadata
-    # columns, and the scheduler back-fills each job's straggler tail
-    # with the other's tasks
+    # all three metadata actions are independent once the norms aggregate
+    # is expressed as a plan instead of a collected literal, so they run
+    # CONCURRENTLY from driver threads (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially): the
+    # lineage write, the stats write (idf takes n_docs from a broadcast
+    # cross join of the one-row norms aggregate — identical double math
+    # to the former driver literal), and the tiny norms collect that
+    # meta needs. All scan the same pruned metadata columns, and the
+    # scheduler back-fills each job's straggler tail with the others'.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut_lineage = pool.submit(_write_lineage)
-        row = norms.agg(
-            F.sum("df_local").alias("n_docs"),
-            F.sum(F.element_at("block_tf_max", 1)).alias("sum_dl"),
-        ).collect()[0]
-        n_docs = int(row["n_docs"] or 0)
-        avgdl = float(row["sum_dl"]) / n_docs if n_docs else 1.0
+    ndocs_agg = norms.agg(
+        F.sum("df_local").alias("n_docs"),
+        F.sum(F.element_at("block_tf_max", 1)).alias("sum_dl"),
+    )
+
+    def _write_stats() -> str:
         term_stats = (
             terms.groupBy("term")
             .agg(F.sum("df_local").alias("df"))
-            .withColumn("idf", idf_col(F.lit(n_docs), F.col("df"), cfg.bm25))
+            .crossJoin(F.broadcast(
+                ndocs_agg.select(F.coalesce("n_docs", F.lit(0))
+                                 .alias("_n_docs"))))
+            .withColumn("idf", idf_col(F.col("_n_docs"), F.col("df"),
+                                       cfg.bm25))
+            .drop("_n_docs")
         )
-        d_stats = store.write_table("stats", term_stats.sortWithinPartitions("term"))
+        return store.write_table("stats",
+                                 term_stats.sortWithinPartitions("term"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_lineage = pool.submit(_write_lineage)
+        fut_stats = pool.submit(_write_stats)
+        row = ndocs_agg.collect()[0]
+        n_docs = int(row["n_docs"] or 0)
+        avgdl = float(row["sum_dl"]) / n_docs if n_docs else 1.0
+        d_stats = fut_stats.result()
         d_lin = fut_lineage.result()
     # replace: stats and lineage are recomputed in full from the final
     # segment set (mid-build wave commits only carried resume stubs)

@@ -1200,9 +1200,6 @@ def search_topk(
                     idf_map[t] = 0.0
     live_terms = sorted(idf_map)
 
-    b_queries = spark.sparkContext.broadcast(q_specs)
-    b_idf = spark.sparkContext.broadcast(idf_map)
-
     # store_dl=True (default): the scan reads strictly query-term rows
     # (positive terms plus any per-query NOT terms — exclusion postings
     # ride the same pushed-down IN filter; only their doc ids decode).
@@ -1282,6 +1279,8 @@ def search_topk(
             fa = filter_df.select("doc_id", F.lit(0).alias("is_del"))
             aux = fa if aux is None else aux.unionByName(fa)
         aux = aux.select("doc_id", "is_del", shard_col)
+        b_queries = spark.sparkContext.broadcast(q_specs)
+        b_idf = spark.sparkContext.broadcast(idf_map)
 
         def run_cg(seg_pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
             dels = None
@@ -1306,14 +1305,13 @@ def search_topk(
         )
     single_scan = False
     if not big:
-        b_del = spark.sparkContext.broadcast(store.deleted_ids(version))
+        del_arr = store.deleted_ids(version)
         allow_arr = None
         if allow_pre is not None:
             allow_arr = allow_pre
         elif has_filter:
             allow_arr = np.unique(np.array(
                 [r["doc_id"] for r in allow_rows], np.int64))
-        b_allow = spark.sparkContext.broadcast(allow_arr)
 
         # SMALL-INDEX FAST PATH: when the whole segments table is at most
         # cfg.max_single_task_scan_bytes on disk, coalesce the scan to
@@ -1334,26 +1332,51 @@ def search_topk(
                            and tb <= cfg.max_single_task_scan_bytes)
 
         if single_scan:
+            # ONE task: the query state (specs/idf/deletes/keep-list) is
+            # query-sized and rides the task closure — four explicit
+            # broadcast variables would only add py4j round trips here
+            # (the distributed plans below keep their broadcasts). The
+            # global per-query top-k and the final (query_id, score DESC,
+            # doc_id ASC) order come from one local pandas sort, so the
+            # Window/row_number + orderBy plan nodes disappear too.
             def run_one(batches):
                 parts = [p for p in batches if len(p)]
                 if not parts:
                     return
                 pdf = pd.concat(parts, ignore_index=True)
+                outs = []
                 for _, g in pdf.groupby("shard_id", sort=False):
                     out = _shard_search(
-                        g, b_queries.value, b_idf.value, k, avgdl, k1, b,
-                        prune, deleted=b_del.value, allowed=b_allow.value)
+                        g, q_specs, idf_map, k, avgdl, k1, b,
+                        prune, deleted=del_arr, allowed=allow_arr)
                     if len(out):
-                        yield out
+                        outs.append(out)
+                if not outs:
+                    return
+                if k is None:  # enumeration: unordered by contract
+                    yield from outs
+                    return
+                allr = pd.concat(outs, ignore_index=True)
+                allr.sort_values(
+                    ["query_id", "score", "doc_id"],
+                    ascending=[True, False, True], kind="mergesort",
+                    ignore_index=True, inplace=True)
+                yield allr.groupby("query_id", sort=False).head(k)
 
-            local = segs.coalesce(1).mapInPandas(run_one, RESULT_SCHEMA)
-        else:
-            def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
-                return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
-                                     avgdl, k1, b, prune, deleted=b_del.value,
-                                     allowed=b_allow.value)
+            # already capped at k per query, ranked, and globally ordered
+            return segs.coalesce(1).mapInPandas(run_one, RESULT_SCHEMA)
 
-            local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
+        b_queries = spark.sparkContext.broadcast(q_specs)
+        b_idf = spark.sparkContext.broadcast(idf_map)
+        b_del = spark.sparkContext.broadcast(del_arr)
+        b_allow = spark.sparkContext.broadcast(allow_arr)
+
+        def run(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+            return _shard_search(seg_pdf, b_queries.value, b_idf.value, k,
+                                 avgdl, k1, b, prune, deleted=b_del.value,
+                                 allowed=b_allow.value)
+
+        local = segs.groupBy("shard_id").applyInPandas(run, RESULT_SCHEMA)
     if k is None:
         # match ENUMERATION: every qualifying doc with its exact score,
         # no global rank, no sort — shards are disjoint doc ranges, so
@@ -1371,9 +1394,7 @@ def search_topk(
     # per-partition state never exceeds one query's candidate set.
     n_shards_meta = int(meta.get("n_shards") or 0)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    if single_scan:
-        ranked = local  # already one partition: no exchange needed at all
-    elif n_shards_meta and n_shards_meta * len(q_specs) * k <= 2_000_000:
+    if n_shards_meta and n_shards_meta * len(q_specs) * k <= 2_000_000:
         ranked = local.repartition(1)
     else:
         ranked = local

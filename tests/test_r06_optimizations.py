@@ -58,6 +58,27 @@ def test_single_task_plan_equals_distributed(spark, eng):
     assert "Exchange" in plan2
 
 
+def test_single_task_batched_merge_equals_distributed(spark, eng):
+    """The in-task pandas top-k merge (session 2: the Window/row_number +
+    orderBy plan nodes folded into the scan task) must reproduce the
+    distributed plan's per-query caps, tie-breaks, and global
+    (query_id, score DESC, doc_id ASC) order for a multi-query batch."""
+    forced = Engine(spark, eng.store.root,
+                    dataclasses.replace(eng.cfg, max_single_task_scan_bytes=0))
+    batch = ["join hash row", "dup join", "scan window spark",
+             ("join hash row", "all", None)]
+    fast = [(r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in eng.searches(batch, k=5).collect()]
+    slow = [(r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in forced.searches(batch, k=5).collect()]
+    assert fast == slow
+    assert fast, "expected non-empty batched results"
+    # per-query cap honored and order strictly (qid, -score, doc_id)
+    from collections import Counter
+    assert max(Counter(q for q, *_ in fast).values()) <= 5
+    assert fast == sorted(fast, key=lambda t: (t[0], -t[2], t[1]))
+
+
 def test_idf_cache_complete_matches_per_term(spark, eng):
     """The one-shot full-dictionary load must resolve idfs identically to
     the per-term isin path (cache disabled via max_idf_cache_terms=0)."""
