@@ -140,12 +140,13 @@ def _shard_search(
         excl_cache[term] = out
         return out
 
-    out_q, out_d, out_s = [], [], []
+    _NO_HITS = (np.empty(0, np.int64), np.empty(0, np.float64))
+
     # mode rides PER QUERY (a mixed phrase + bag-of-words batch is the
     # normal shape of real traffic — one Spark job serves it)
-    for qid, (terms, mode, near_window, excl_terms, min_match,
-              after, boosts, req_toks, chain_specs,
-              dismax_tb, filter_groups, demote_spec) in enumerate(queries):
+    def _run_query(terms, mode, near_window, excl_terms, min_match,
+                   after, boosts, req_toks, chain_specs,
+                   dismax_tb, filter_groups, demote_spec):
         positional = mode in POSITIONAL_MODES
         # phrase/near modes ship RAW ordered token lists (order and, for
         # phrase, duplicates matter); other modes ship sorted distinct.
@@ -172,13 +173,13 @@ def _shard_search(
                 idx_of[t] = list(range(len(tp), len(tp) + len(plist)))
                 tp.extend(plist)
         if not tp:
-            continue
+            return _NO_HITS
         chains = None
         required = None
         mm_slots = None
         if positional:
             if len(idx_of) < len(distinct):
-                continue  # an absent term makes the match unreachable
+                return _NO_HITS  # an absent term makes the match unreachable
             if mode == "phrase":
                 slots = [(off, idx_of[tok]) for off, tok in enumerate(terms)]
                 chains = [(slots, None, False)]
@@ -200,7 +201,7 @@ def _shard_search(
             if any(t not in idx_of for t in req_toks) or any(
                     tok not in idx_of
                     for ct, _, _ in chain_specs for tok in ct):
-                continue
+                return _NO_HITS
             required = [idx_of[t] for t in req_toks] or None
             built = []
             for c_toks, c_win, c_unord in chain_specs:
@@ -251,7 +252,7 @@ def _shard_search(
                     break
                 fgs.append(slots)
             if absent:
-                continue  # no doc in this shard carries the field value
+                return _NO_HITS  # no doc in this shard carries the field value
             required = (required or []) + fgs
             # qualification must count SCORING slots only: a filter entry
             # (contribution 0) may neither satisfy min_match nor surface
@@ -285,15 +286,32 @@ def _shard_search(
                 ids_d = (arrs[0] if len(arrs) == 1
                          else np.unique(np.concatenate(arrs)))
                 demote = (ids_d, nb)
-        ids, scores = shard_topk(tp, k, avgdl, k1, b, prune=prune,
-                                 deleted=dels_q, allowed=allowed,
-                                 min_match=mm, min_match_slots=mm_slots,
-                                 required=required, chains=chains,
-                                 after=after, dismax_tb=dismax_tb,
-                                 demote=demote)
-        out_q.append(np.full(len(ids), qid, np.int32))
-        out_d.append(ids)
-        out_s.append(scores)
+        return shard_topk(tp, k, avgdl, k1, b, prune=prune,
+                          deleted=dels_q, allowed=allowed,
+                          min_match=mm, min_match_slots=mm_slots,
+                          required=required, chains=chains,
+                          after=after, dismax_tb=dismax_tb,
+                          demote=demote)
+
+    # identical specs in one batch compute ONCE (batches routinely repeat
+    # queries — common-subexpression elimination across the batch): the
+    # normalized spec tuples are plain python values, so identical specs
+    # repr identically and the memo key is exact; results are reused by
+    # reference and only the query_id label differs. No semantic change —
+    # a duplicated spec's rows were already byte-identical by determinism.
+    out_q, out_d, out_s = [], [], []
+    memo: dict[str, tuple] = {}
+    for qid, spec in enumerate(queries):
+        key = repr(spec)
+        res = memo.get(key)
+        if res is None:
+            res = _run_query(*spec)
+            memo[key] = res
+        ids, scores = res
+        if len(ids):
+            out_q.append(np.full(len(ids), qid, np.int32))
+            out_d.append(ids)
+            out_s.append(scores)
     if not out_q:
         return _EMPTY
     return pd.DataFrame(

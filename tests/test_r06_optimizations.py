@@ -79,6 +79,29 @@ def test_single_task_batched_merge_equals_distributed(spark, eng):
     assert fast == sorted(fast, key=lambda t: (t[0], -t[2], t[1]))
 
 
+def test_duplicate_specs_in_batch_equal_singletons(spark, eng):
+    """Identical specs in one batch are computed once in the shard kernel
+    (memoized by normalized-spec identity); every duplicate must still
+    emit its own query_id with rows identical to the singleton run."""
+    batch = ["join hash row", "dup join", "join hash row",
+             {"text": "join hash row", "exclude": "dup"},
+             "join hash row",
+             {"text": "join hash row", "exclude": "dup"}]
+    got = {}
+    for r in eng.searches(batch, k=6).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    singles = [_rows(eng.search("join hash row", k=6)),
+               _rows(eng.search("dup join", k=6)),
+               _rows(eng.search("join hash row", k=6)),
+               _rows(eng.search("join hash row", k=6, exclude="dup")),
+               _rows(eng.search("join hash row", k=6)),
+               _rows(eng.search("join hash row", k=6, exclude="dup"))]
+    assert [got.get(i, []) for i in range(6)] == singles
+    assert got[0] and got[0] == got[2] == got[4]
+    assert got[3] == got[5]
+
+
 def test_idf_cache_complete_matches_per_term(spark, eng):
     """The one-shot full-dictionary load must resolve idfs identically to
     the per-term isin path (cache disabled via max_idf_cache_terms=0)."""
